@@ -1,0 +1,140 @@
+"""Quaternion / rotation utilities (pure JAX, batch-agnostic).
+
+Conventions (all chosen to match the behavioral spec of the reference stack):
+
+* Quaternions are stored **xyzw** (PyBullet order, the layout of slots 3:7 of the
+  reference 20-dim state vector, BaseAviary.py:541-561).
+* ``quat_to_euler_xyz`` / ``euler_xyz_to_quat`` implement the extrinsic-xyz
+  (roll about world X, then pitch about Y, then yaw about Z) convention of
+  PyBullet's ``getEulerFromQuaternion`` / ``getQuaternionFromEuler``:
+  ``R = Rz(yaw) @ Ry(pitch) @ Rx(roll)``.
+* ``matrix_to_euler_intrinsic_xyz`` / ``euler_intrinsic_xyz_to_matrix`` implement
+  scipy's ``Rotation.as_euler('XYZ')`` convention used inside the DSL PID position
+  loop (DSLPIDControl.py:207): ``R = Rx(a) @ Ry(b) @ Rz(c)``.
+* ``integrate_quat`` is the closed-form axis-angle quaternion update of the
+  reference explicit dynamics (BaseAviary._integrateQ, BaseAviary.py:879-892),
+  with a jit-safe guard replacing the ``np.isclose(omega_norm, 0)`` branch.
+
+All functions operate on the trailing axis and broadcast over leading batch axes.
+"""
+
+import jax.numpy as jnp
+
+
+def quat_to_matrix(q):
+    """Rotation matrix from an xyzw quaternion. q: (..., 4) -> (..., 3, 3)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    row0 = jnp.stack([1.0 - 2.0 * (yy + zz), 2.0 * (xy - wz), 2.0 * (xz + wy)], -1)
+    row1 = jnp.stack([2.0 * (xy + wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz - wx)], -1)
+    row2 = jnp.stack([2.0 * (xz - wy), 2.0 * (yz + wx), 1.0 - 2.0 * (xx + yy)], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
+def quat_multiply(q1, q2):
+    """Hamilton product of xyzw quaternions (rotation q1 applied after q2)."""
+    x1, y1, z1, w1 = q1[..., 0], q1[..., 1], q1[..., 2], q1[..., 3]
+    x2, y2, z2, w2 = q2[..., 0], q2[..., 1], q2[..., 2], q2[..., 3]
+    return jnp.stack(
+        [
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        ],
+        -1,
+    )
+
+
+def quat_normalize(q, eps=1e-12):
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), eps)
+
+
+def quat_rotate(q, v):
+    """Rotate vector(s) v by xyzw quaternion(s) q (equivalent to R(q) @ v)."""
+    qv = q[..., :3]
+    w = q[..., 3:4]
+    t = 2.0 * jnp.cross(qv, v)
+    return v + w * t + jnp.cross(qv, t)
+
+
+def quat_to_euler_xyz(q):
+    """PyBullet-convention (roll, pitch, yaw): R = Rz(yaw) Ry(pitch) Rx(roll)."""
+    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    # Matrix entries needed: R20 = 2(xz - wy), R21 = 2(yz + wx),
+    # R22 = 1 - 2(xx + yy), R10 = 2(xy + wz), R00 = 1 - 2(yy + zz)
+    r20 = 2.0 * (x * z - w * y)
+    r21 = 2.0 * (y * z + w * x)
+    r22 = 1.0 - 2.0 * (x * x + y * y)
+    r10 = 2.0 * (x * y + w * z)
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    roll = jnp.arctan2(r21, r22)
+    pitch = jnp.arcsin(jnp.clip(-r20, -1.0, 1.0))
+    yaw = jnp.arctan2(r10, r00)
+    return jnp.stack([roll, pitch, yaw], -1)
+
+
+def euler_xyz_to_quat(rpy):
+    """Inverse of quat_to_euler_xyz: q = qz(yaw) * qy(pitch) * qx(roll), xyzw."""
+    half = 0.5 * rpy
+    cr, cp, cy = jnp.cos(half[..., 0]), jnp.cos(half[..., 1]), jnp.cos(half[..., 2])
+    sr, sp, sy = jnp.sin(half[..., 0]), jnp.sin(half[..., 1]), jnp.sin(half[..., 2])
+    return jnp.stack(
+        [
+            sr * cp * cy - cr * sp * sy,
+            cr * sp * cy + sr * cp * sy,
+            cr * cp * sy - sr * sp * cy,
+            cr * cp * cy + sr * sp * sy,
+        ],
+        -1,
+    )
+
+
+def matrix_to_euler_intrinsic_xyz(R):
+    """scipy 'XYZ' intrinsic Euler angles (a, b, c) with R = Rx(a) Ry(b) Rz(c)."""
+    a = jnp.arctan2(-R[..., 1, 2], R[..., 2, 2])
+    b = jnp.arcsin(jnp.clip(R[..., 0, 2], -1.0, 1.0))
+    c = jnp.arctan2(-R[..., 0, 1], R[..., 0, 0])
+    return jnp.stack([a, b, c], -1)
+
+
+def euler_intrinsic_xyz_to_matrix(euler):
+    """R = Rx(a) Ry(b) Rz(c) for intrinsic-XYZ angles (a, b, c)."""
+    ca, cb, cc = jnp.cos(euler[..., 0]), jnp.cos(euler[..., 1]), jnp.cos(euler[..., 2])
+    sa, sb, sc = jnp.sin(euler[..., 0]), jnp.sin(euler[..., 1]), jnp.sin(euler[..., 2])
+    row0 = jnp.stack([cb * cc, -cb * sc, sb], -1)
+    row1 = jnp.stack([ca * sc + sa * sb * cc, ca * cc - sa * sb * sc, -sa * cb], -1)
+    row2 = jnp.stack([sa * sc - ca * sb * cc, sa * cc + ca * sb * sc, ca * cb], -1)
+    return jnp.stack([row0, row1, row2], -2)
+
+
+def integrate_quat(quat, omega, dt, eps=1e-9):
+    """Closed-form quaternion integration under constant body rates ``omega``.
+
+    Implements the axis-angle update of the reference explicit dynamics
+    (BaseAviary._integrateQ, BaseAviary.py:879-892): with theta = |w| dt / 2,
+
+        q' = (cos(theta) I + sin(theta)/|w| * M(w)) q
+
+    where M is the xyzw rate matrix. Exactly norm-preserving in exact
+    arithmetic; the zero-rate branch is a jit-safe ``where``.
+    """
+    omega_norm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    p, q_, r = omega[..., 0:1], omega[..., 1:2], omega[..., 2:3]
+    x, y, z, w = quat[..., 0:1], quat[..., 1:2], quat[..., 2:3], quat[..., 3:4]
+    # M(w) @ quat with M rows [[0, r, -q, p], [-r, 0, p, q], [q, -p, 0, r], [-p, -q, -r, 0]]
+    mq = jnp.concatenate(
+        [
+            r * y - q_ * z + p * w,
+            -r * x + p * z + q_ * w,
+            q_ * x - p * y + r * w,
+            -p * x - q_ * y - r * z,
+        ],
+        -1,
+    )
+    safe_norm = jnp.maximum(omega_norm, eps)
+    theta = safe_norm * dt / 2.0
+    out = jnp.cos(theta) * quat + jnp.sin(theta) / safe_norm * mq
+    return jnp.where(omega_norm > eps, out, quat)

@@ -1,0 +1,347 @@
+"""Gymnasium shell: drop-in stateful env classes over the functional core.
+
+Users of the reference (`gym_pybullet_drones/envs/*.py`) interact with stateful
+`gym.Env` subclasses; here each class is a thin host-side wrapper holding the
+jitted pure step of `envs/base.py`, converting numpy <-> device arrays at the
+boundary. Constructor signatures mirror the reference
+(BaseAviary.__init__, BaseAviary.py:25-40); PyBullet-specific toggles (`gui`,
+`record`, `obstacles`, `user_debug_gui`) are accepted for API parity — GUI
+rendering and video recording have no PyBullet backend here, so they reduce to
+the text `render()` and the Logger/plot pipeline.
+
+Space definitions are numeric copies of the reference's:
+  * CtrlAviary/VelocityAviary obs: Box (N, 20) (CtrlAviary.py:90-102)
+  * CtrlAviary act: Box [0, MAX_RPM] (N, 4) (CtrlAviary.py:74-86)
+  * VelocityAviary act: Box [-1,1]^3 x [0,1] (VelocityAviary.py:82-94)
+  * RL aviaries: act Box(-1,1) (N, {4,3,1}) (BaseRLAviary.py:132-156), obs
+    Box (N, 12 + buffer*A) with z >= 0 and buffer bounds +-1
+    (BaseRLAviary.py:242-277)
+"""
+
+import time
+from typing import Optional
+
+import numpy as np
+
+import gymnasium as gym
+from gymnasium import spaces
+
+import jax
+
+from gym_pybullet_drones_tpu.envs import base as envbase
+from gym_pybullet_drones_tpu.envs.base import (
+    TASK_CTRL,
+    TASK_HOVER,
+    TASK_MULTIHOVER,
+    TASK_VELOCITY,
+    AviaryConfig,
+)
+from gym_pybullet_drones_tpu.envs.spec import (
+    ActionType,
+    DroneModel,
+    ObservationType,
+    Physics,
+)
+
+
+class BaseAviaryEnv(gym.Env):
+    """Common shell; subclasses pick the task and spaces.
+
+    Exposes the reference's public attribute surface (NUM_DRONES, CTRL_FREQ,
+    PYB_FREQ, CTRL_TIMESTEP, M, KF, KM, MAX_RPM, HOVER_RPM, INIT_XYZS, ... —
+    BaseAviary.py:74-216) so downstream scripts port without edits.
+    """
+
+    metadata = {"render_modes": ["human"]}
+
+    def __init__(
+        self,
+        drone_model: DroneModel = DroneModel.CF2X,
+        num_drones: int = 1,
+        neighbourhood_radius: float = np.inf,
+        initial_xyzs=None,
+        initial_rpys=None,
+        physics: Physics = Physics.PYB,
+        pyb_freq: int = 240,
+        ctrl_freq: int = 240,
+        gui: bool = False,
+        record: bool = False,
+        obstacles: bool = False,
+        user_debug_gui: bool = True,
+        output_folder: str = "results",
+        task: str = TASK_CTRL,
+        act: ActionType = ActionType.RPM,
+        obs: ObservationType = ObservationType.KIN,
+        action_buffer_size: int = 0,
+        episode_len_sec: float = 8.0,
+    ):
+        self.cfg = AviaryConfig(
+            drone_model=drone_model,
+            num_drones=num_drones,
+            physics=physics,
+            pyb_freq=pyb_freq,
+            ctrl_freq=ctrl_freq,
+            task=task,
+            action_type=act,
+            obs_type=obs,
+            action_buffer_size=action_buffer_size,
+            episode_len_sec=episode_len_sec,
+            neighbourhood_radius=float(neighbourhood_radius),
+            initial_xyzs=(
+                tuple(map(tuple, np.asarray(initial_xyzs, dtype=float)))
+                if initial_xyzs is not None
+                else None
+            ),
+            initial_rpys=(
+                tuple(map(tuple, np.asarray(initial_rpys, dtype=float)))
+                if initial_rpys is not None
+                else None
+            ),
+        )
+        self.params = envbase.build_params(self.cfg)
+        self.ctrl_params = envbase.build_ctrl_params(self.cfg)
+        self.target_pos = (
+            envbase.hover_target_pos(self.cfg, self.params)
+            if task in (TASK_HOVER, TASK_MULTIHOVER)
+            else np.zeros((num_drones, 3), dtype=np.float32)
+        )
+        self._jit_step = jax.jit(
+            lambda s, a: envbase.step(
+                self.cfg, self.params, self.ctrl_params, self.target_pos, s, a
+            )
+        )
+        self._state = None
+        self.GUI, self.RECORD, self.OBSTACLES = gui, record, obstacles
+        self.OUTPUT_FOLDER = output_folder
+
+        # Reference public constants (BaseAviary.py:74-216)
+        self.NUM_DRONES = num_drones
+        self.DRONE_MODEL = drone_model
+        self.PHYSICS = physics
+        self.PYB_FREQ, self.CTRL_FREQ = pyb_freq, ctrl_freq
+        self.PYB_TIMESTEP = 1.0 / pyb_freq
+        self.CTRL_TIMESTEP = 1.0 / ctrl_freq
+        self.PYB_STEPS_PER_CTRL = pyb_freq // ctrl_freq
+        self.NEIGHBOURHOOD_RADIUS = neighbourhood_radius
+        p = self.params
+        self.G = float(p.gravity)  # reference names m*g "G" internally? no: GRAVITY
+        self.GRAVITY = float(p.gravity)
+        self.M = float(p.m)
+        self.L = float(p.arm)
+        self.KF = float(p.kf)
+        self.KM = float(p.km)
+        self.THRUST2WEIGHT_RATIO = float(p.thrust2weight)
+        self.MAX_SPEED_KMH = float(p.max_speed_kmh)
+        self.GND_EFF_COEFF = float(p.gnd_eff_coeff)
+        self.PROP_RADIUS = float(p.prop_radius)
+        self.DRAG_COEFF = np.asarray(p.drag_coeff)
+        self.DW_COEFF_1 = float(p.dw_coeff_1)
+        self.DW_COEFF_2 = float(p.dw_coeff_2)
+        self.DW_COEFF_3 = float(p.dw_coeff_3)
+        self.J = np.asarray(p.J)
+        self.J_INV = np.asarray(p.J_inv)
+        self.COLLISION_H = float(p.collision_h)
+        self.COLLISION_R = float(p.collision_r)
+        self.COLLISION_Z_OFFSET = float(p.collision_z_offset)
+        self.HOVER_RPM = float(p.hover_rpm)
+        self.MAX_RPM = float(p.max_rpm)
+        self.MAX_THRUST = float(p.max_thrust)
+        self.MAX_XY_TORQUE = float(p.max_xy_torque)
+        self.MAX_Z_TORQUE = float(p.max_z_torque)
+        self.GND_EFF_H_CLIP = float(p.gnd_eff_h_clip)
+        xyzs, rpys = envbase._initial_pose(self.cfg, self.params)
+        self.INIT_XYZS = np.asarray(xyzs)
+        self.INIT_RPYS = np.asarray(rpys)
+        self.EPISODE_LEN_SEC = episode_len_sec
+        self.ACT_TYPE, self.OBS_TYPE = act, obs
+        self.ACTION_BUFFER_SIZE = action_buffer_size
+        self.SPEED_LIMIT = 0.03 * self.MAX_SPEED_KMH * (1000.0 / 3600.0)
+
+        self.action_space = self._action_space()
+        self.observation_space = self._observation_space()
+        self._start_wall = time.time()
+
+    # -- spaces (overridden per subclass) -------------------------------------
+
+    def _state_obs_bounds(self):
+        """(N, 20) full-state bounds (CtrlAviary.py:90-102)."""
+        n = self.NUM_DRONES
+        inf, pi, mr = np.inf, np.pi, self.MAX_RPM
+        lo = np.array([[-inf, -inf, 0.0, -1, -1, -1, -1, -pi, -pi, -pi,
+                        -inf, -inf, -inf, -inf, -inf, -inf, 0, 0, 0, 0]] * n)
+        hi = np.array([[inf, inf, inf, 1, 1, 1, 1, pi, pi, pi,
+                        inf, inf, inf, inf, inf, inf, mr, mr, mr, mr]] * n)
+        return spaces.Box(low=lo.astype(np.float32), high=hi.astype(np.float32),
+                          dtype=np.float32)
+
+    def _action_space(self):
+        raise NotImplementedError
+
+    def _observation_space(self):
+        raise NotImplementedError
+
+    # -- gym API ---------------------------------------------------------------
+
+    @property
+    def step_counter(self) -> int:
+        return int(self._state.step_count) if self._state is not None else 0
+
+    def reset(self, seed: Optional[int] = None, options=None):
+        super().reset(seed=seed)
+        self._state = envbase.reset(self.cfg, self.params)
+        obs = np.asarray(envbase.compute_obs(self.cfg, self._state))
+        self._start_wall = time.time()
+        return obs.astype(np.float32), self._computeInfo()
+
+    def step(self, action):
+        action = np.asarray(action)
+        self._state, obs, reward, term, trunc = self._jit_step(self._state, action)
+        return (
+            np.asarray(obs, dtype=np.float32),
+            float(reward),
+            bool(term),
+            bool(trunc),
+            self._computeInfo(),
+        )
+
+    def _computeInfo(self):
+        return {"answer": 42}  # reference in-joke (CtrlAviary.py:196-200)
+
+    def render(self):
+        """Text render with the realtime factor (BaseAviary.render, :387-414)."""
+        if self._state is None:
+            return
+        sim_t = self.step_counter * self.PYB_TIMESTEP
+        wall = time.time() - self._start_wall
+        kin = self._state.kin
+        print(
+            f"\n[INFO] BaseAviary.render() — it {self.step_counter:04d} — "
+            f"wall-clock time {wall:.1f}s, simulation time {sim_t:.1f}s@{self.PYB_FREQ}Hz "
+            f"({(sim_t / wall) if wall > 0 else 0.0:.2f}x)"
+        )
+        pos = np.asarray(kin.pos)
+        vel = np.asarray(kin.vel)
+        rpy = np.degrees(np.asarray(envbase.state_rpy(kin)))
+        ang = np.asarray(kin.ang_v)
+        for i in range(self.NUM_DRONES):
+            print(
+                f"[INFO] BaseAviary.render() — drone {i} — "
+                f"x {pos[i,0]:+06.2f}, y {pos[i,1]:+06.2f}, z {pos[i,2]:+06.2f}, "
+                f"velocity {np.linalg.norm(vel[i]):+06.2f}, "
+                f"roll {rpy[i,0]:+06.2f}, pitch {rpy[i,1]:+06.2f}, yaw {rpy[i,2]:+06.2f}, "
+                f"angular velocity {np.linalg.norm(ang[i]):+06.4f}"
+            )
+
+    def close(self):
+        pass
+
+    def getDroneIds(self):
+        return np.arange(self.NUM_DRONES)
+
+    def _getDroneStateVector(self, nth_drone: int) -> np.ndarray:
+        """Reference 20-dim state accessor (BaseAviary.py:541-561)."""
+        full = np.asarray(envbase.drone_state_vector(self.cfg, self._state))
+        return full[nth_drone]
+
+    def _getAdjacencyMatrix(self) -> np.ndarray:
+        return np.asarray(
+            envbase.adjacency_matrix(self._state.kin.pos, self.NEIGHBOURHOOD_RADIUS)
+        )
+
+
+class CtrlAviary(BaseAviaryEnv):
+    """Direct-RPM control env (reference envs/CtrlAviary.py)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("pyb_freq", 240)
+        kwargs.setdefault("ctrl_freq", 240)
+        kwargs["task"] = TASK_CTRL
+        super().__init__(**kwargs)
+
+    def _action_space(self):
+        n = self.NUM_DRONES
+        return spaces.Box(
+            low=np.zeros((n, 4), dtype=np.float32),
+            high=np.full((n, 4), self.MAX_RPM, dtype=np.float32),
+            dtype=np.float32,
+        )
+
+    def _observation_space(self):
+        return self._state_obs_bounds()
+
+
+class VelocityAviary(BaseAviaryEnv):
+    """Velocity-command env with embedded DSLPID (reference envs/VelocityAviary.py)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("pyb_freq", 240)
+        kwargs.setdefault("ctrl_freq", 240)
+        kwargs["task"] = TASK_VELOCITY
+        super().__init__(**kwargs)
+
+    def _action_space(self):
+        n = self.NUM_DRONES
+        lo = np.tile(np.array([-1.0, -1.0, -1.0, 0.0], dtype=np.float32), (n, 1))
+        hi = np.ones((n, 4), dtype=np.float32)
+        return spaces.Box(low=lo, high=hi, dtype=np.float32)
+
+    def _observation_space(self):
+        return self._state_obs_bounds()
+
+
+class _RLAviary(BaseAviaryEnv):
+    """Shared RL shell (reference envs/BaseRLAviary.py): KIN obs + action buffer."""
+
+    def __init__(self, task, **kwargs):
+        kwargs.setdefault("pyb_freq", 240)
+        kwargs.setdefault("ctrl_freq", 30)
+        kwargs.setdefault("act", ActionType.RPM)
+        kwargs.setdefault("obs", ObservationType.KIN)
+        ctrl_freq = kwargs["ctrl_freq"]
+        kwargs.setdefault("action_buffer_size", int(ctrl_freq // 2))
+        kwargs["task"] = task
+        super().__init__(**kwargs)
+        self.TARGET_POS = np.asarray(self.target_pos)
+
+    def _action_space(self):
+        n, a = self.NUM_DRONES, self.cfg.action_dim
+        return spaces.Box(
+            low=-np.ones((n, a), dtype=np.float32),
+            high=np.ones((n, a), dtype=np.float32),
+            dtype=np.float32,
+        )
+
+    def _observation_space(self):
+        n, a = self.NUM_DRONES, self.cfg.action_dim
+        lo = np.full((n, 12), -np.inf)
+        lo[:, 2] = 0.0
+        hi = np.full((n, 12), np.inf)
+        buf_lo = -np.ones((n, self.ACTION_BUFFER_SIZE * a))
+        buf_hi = np.ones((n, self.ACTION_BUFFER_SIZE * a))
+        return spaces.Box(
+            low=np.hstack([lo, buf_lo]).astype(np.float32),
+            high=np.hstack([hi, buf_hi]).astype(np.float32),
+            dtype=np.float32,
+        )
+
+    def step(self, action):
+        action = np.asarray(action).reshape(self.NUM_DRONES, self.cfg.action_dim)
+        return super().step(action)
+
+
+class HoverAviary(_RLAviary):
+    """Single-drone hover-at-[0,0,1] RL task (reference envs/HoverAviary.py)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("num_drones", 1)
+        kwargs.setdefault("episode_len_sec", 8.0)
+        super().__init__(TASK_HOVER, **kwargs)
+
+
+class MultiHoverAviary(_RLAviary):
+    """Multi-drone hover RL task (reference envs/MultiHoverAviary.py)."""
+
+    def __init__(self, **kwargs):
+        kwargs.setdefault("num_drones", 2)
+        kwargs.setdefault("episode_len_sec", 8.0)
+        super().__init__(TASK_MULTIHOVER, **kwargs)

@@ -1,0 +1,146 @@
+"""On-device rollouts: vmapped env batches + `lax.scan` over time with auto-reset.
+
+This is the TPU-native replacement for the reference's host-side simulation
+loops (examples/pid.py:132-167) and for SB3's `VecEnv`/`make_vec_env` plumbing
+(examples/learn.py:54-66, used with n_envs=1 there): instead of Python `for`
+loops stepping a stateful env object, a whole batch of environments advances as
+one fused XLA program — `vmap` over the env axis, `lax.scan` over the time
+axis, with per-env auto-reset masks implementing the VecEnv convention
+(reset-on-done, where the obs returned at a done step is the *new* episode's
+first obs, matching SB3's auto-reset semantics).
+
+The env batch axis is also the sharding axis: `runtime/mesh.py` places these
+same functions on a `jax.sharding.Mesh` so batches span chips and hosts.
+"""
+
+from functools import partial
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.envs import base as envbase
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig, AviaryState
+
+
+class StepOutput(NamedTuple):
+    """Per-step signals; leaves gain a leading time axis after a rollout scan."""
+
+    obs: jax.Array
+    reward: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+
+
+def tree_where(mask, a, b):
+    """Select pytree `a` where per-env bool `mask` else `b` (mask broadcasts
+    over each leaf's trailing dims)."""
+
+    def sel(x, y):
+        m = mask.reshape(mask.shape + (1,) * (x.ndim - mask.ndim))
+        return jnp.where(m, x, y)
+
+    return jax.tree.map(sel, a, b)
+
+
+def batch_reset(cfg: AviaryConfig, params, num_envs: int) -> AviaryState:
+    """A batch of `num_envs` freshly-reset envs (leaves shaped (E, ...)).
+
+    The reference reset is deterministic (BaseAviary.py:220-255 ignores the
+    seed for state randomization), so the batched reset is a broadcast of the
+    single initial state.
+    """
+    single = envbase.reset(cfg, params)
+    return jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), single
+    )
+
+
+def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
+                      auto_reset: bool = True):
+    """Build `step(state, action) -> (state, StepOutput)` over an env batch.
+
+    `state` leaves carry a leading env axis; `action` is (E, N, A). With
+    `auto_reset=True`, envs that finish (terminated | truncated) are replaced
+    by the initial state and the returned obs is the fresh episode's first
+    obs — the VecEnv convention the reference relies on through SB3
+    (learn.py:83-95).
+    """
+    single_step = partial(envbase.step, cfg, params, ctrl_params, target_pos)
+    vstep = jax.vmap(single_step)
+    init_state = envbase.reset(cfg, params)
+    init_obs = envbase.compute_obs(cfg, init_state)
+
+    def step(state: AviaryState, action):
+        new_state, obs, reward, term, trunc = vstep(state, action)
+        if not auto_reset:
+            return new_state, StepOutput(obs, reward, term, trunc)
+        done = term | trunc
+        fresh = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (obs.shape[0],) + x.shape), init_state
+        )
+        new_state = tree_where(done, fresh, new_state)
+        obs = tree_where(done, jnp.broadcast_to(init_obs, obs.shape), obs)
+        return new_state, StepOutput(obs, reward, term, trunc)
+
+    return step
+
+
+def rollout(
+    step_fn: Callable,
+    policy_fn: Callable,
+    state: AviaryState,
+    policy_state,
+    obs,
+    num_steps: int,
+    rng: Optional[jax.Array] = None,
+):
+    """Scan `num_steps` of (policy -> env step) entirely on device.
+
+    `policy_fn(policy_state, obs, key) -> (action, new_policy_state)`. The
+    carried policy state holds e.g. DSLPID memory or network params + RNG.
+    Returns `((state, policy_state, obs), StepOutput)` where StepOutput leaves
+    have a leading time axis.
+
+    This replaces the reference's host loop (pid.py:132-167): one jitted
+    program, zero host<->device syncs inside the trajectory.
+    """
+    keys = (
+        jax.random.split(rng, num_steps)
+        if rng is not None
+        else jnp.zeros((num_steps, 2), dtype=jnp.uint32)
+    )
+
+    def body(carry, key):
+        env_state, pol_state, cur_obs = carry
+        action, pol_state = policy_fn(pol_state, cur_obs, key)
+        env_state, out = step_fn(env_state, action)
+        return (env_state, pol_state, out.obs), out
+
+    return jax.lax.scan(body, (state, policy_state, obs), keys)
+
+
+def episode_returns(outputs: StepOutput):
+    """Undiscounted per-episode returns from a rollout's stacked signals.
+
+    Sums rewards between done flags per env column (time axis leading). Returns
+    (returns, counts): total return of *completed* episodes and their number,
+    for parity checks against SB3's `evaluate_policy` (learn.py:149-152).
+    """
+    done = outputs.terminated | outputs.truncated
+
+    def body(carry, inp):
+        running, total, count = carry
+        r, d = inp
+        running = running + r
+        total = total + jnp.where(d, running, 0.0)
+        count = count + d.astype(jnp.int32)
+        running = jnp.where(d, 0.0, running)
+        return (running, total, count), None
+
+    zeros = jnp.zeros_like(outputs.reward[0])
+    (running, total, count), _ = jax.lax.scan(
+        body, (zeros, zeros, jnp.zeros_like(zeros, dtype=jnp.int32)),
+        (outputs.reward, done),
+    )
+    return total, count

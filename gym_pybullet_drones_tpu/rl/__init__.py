@@ -1,0 +1,8 @@
+from gym_pybullet_drones_tpu.rl.ppo import (
+    ActorCritic,
+    PPOConfig,
+    PPORunnerState,
+    evaluate_policy,
+    make_ppo_train_step,
+    ppo_init,
+)

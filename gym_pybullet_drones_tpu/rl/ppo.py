@@ -1,0 +1,317 @@
+"""On-device PPO: the actor-learner loop as one jitted, shardable program.
+
+The reference trains its RL tasks with stable-baselines3 PPO on CPU/torch
+(examples/learn.py:73-95: `PPO('MlpPolicy', ...)`, n_envs=1, EvalCallback with
+StopTrainingOnRewardThreshold). Here the entire loop — policy forward, env
+physics, GAE, minibatched clipped-surrogate updates — is a single XLA program:
+rollouts are `lax.scan`s over the batched env step, updates are `lax.scan`s
+over epochs/minibatches, and the env batch axis shards over a device mesh
+(data parallelism; XLA inserts the gradient all-reduce automatically when
+params are replicated and the batch is sharded).
+
+Network and hyperparameters mirror SB3 defaults so solved-reward thresholds
+are comparable (learn.py:79-82): MlpPolicy = separate pi/vf towers of two
+tanh-64 layers, Gaussian policy with state-independent log-std, lr 3e-4,
+n_steps 2048, 10 epochs, minibatch 64, gamma 0.99, GAE lambda 0.95, clip 0.2,
+vf coef 0.5, max grad norm 0.5.
+"""
+
+import dataclasses
+from functools import partial
+from typing import Any, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import linen as nn
+from flax import struct
+
+from gym_pybullet_drones_tpu.envs import base as envbase
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig
+from gym_pybullet_drones_tpu.runtime.rollout import (
+    StepOutput,
+    batch_reset,
+    make_batched_step,
+    tree_where,
+)
+
+
+class ActorCritic(nn.Module):
+    """SB3-MlpPolicy-equivalent actor-critic (separate towers, tanh, 64-64)."""
+
+    action_dim: int
+    hidden: Sequence[int] = (64, 64)
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs):
+        x = obs
+        for h in self.hidden:
+            x = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
+                                 bias_init=nn.initializers.zeros)(x))
+        mean = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01),
+                        bias_init=nn.initializers.zeros)(x)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(self.log_std_init), (self.action_dim,)
+        )
+        v = obs
+        for h in self.hidden:
+            v = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
+                                 bias_init=nn.initializers.zeros)(v))
+        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0),
+                         bias_init=nn.initializers.zeros)(v)
+        return mean, log_std, jnp.squeeze(value, -1)
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    """SB3-default hyperparameters (stable_baselines3 PPO signature)."""
+
+    num_envs: int = 8
+    n_steps: int = 256  # per-env rollout length between updates
+    learning_rate: float = 3e-4
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    n_epochs: int = 10
+    minibatch_size: int = 64
+    hidden: tuple = (64, 64)
+
+    @property
+    def batch_size(self) -> int:
+        return self.num_envs * self.n_steps
+
+    @property
+    def num_minibatches(self) -> int:
+        return max(1, self.batch_size // self.minibatch_size)
+
+
+class Transition(NamedTuple):
+    obs: jax.Array
+    action: jax.Array
+    log_prob: jax.Array
+    value: jax.Array
+    reward: jax.Array
+    done: jax.Array
+
+
+@struct.dataclass
+class PPORunnerState:
+    params: Any
+    opt_state: Any
+    env_state: Any
+    obs: jax.Array
+    rng: jax.Array
+    update_count: jax.Array
+
+
+def _gaussian_log_prob(mean, log_std, action):
+    var = jnp.exp(2.0 * log_std)
+    return jnp.sum(
+        -0.5 * ((action - mean) ** 2 / var + 2.0 * log_std + jnp.log(2.0 * jnp.pi)),
+        axis=-1,
+    )
+
+
+def _flat_obs(obs):
+    """(E, N, D) per-drone obs -> (E, N*D) network input (single policy over
+    the whole aviary, the shape SB3 sees through the reference's Box spaces)."""
+    return obs.reshape(obs.shape[0], -1)
+
+
+def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
+             params_env=None, ctrl_params=None, target_pos=None):
+    """Initial `PPORunnerState` plus the (network, optimizer) pair."""
+    params_env = envbase.build_params(env_cfg) if params_env is None else params_env
+    ctrl_params = envbase.build_ctrl_params(env_cfg) if ctrl_params is None else ctrl_params
+    if target_pos is None:
+        target_pos = envbase.hover_target_pos(env_cfg, params_env)
+    obs_dim = env_cfg.num_drones * env_cfg.obs_dim
+    act_dim = env_cfg.num_drones * env_cfg.action_dim
+    network = ActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden)
+    rng, init_key = jax.random.split(rng)
+    params = network.init(init_key, jnp.zeros((1, obs_dim)))
+    tx = optax.chain(
+        optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
+        optax.adam(ppo_cfg.learning_rate, eps=1e-5),
+    )
+    opt_state = tx.init(params)
+    env_state = batch_reset(env_cfg, params_env, ppo_cfg.num_envs)
+    obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
+    runner = PPORunnerState(
+        params=params, opt_state=opt_state, env_state=env_state,
+        obs=obs, rng=rng, update_count=jnp.zeros((), jnp.int32),
+    )
+    aux = dict(network=network, tx=tx, params_env=params_env,
+               ctrl_params=ctrl_params, target_pos=target_pos)
+    return runner, aux
+
+
+def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
+    """Build `train_step(runner) -> (runner, metrics)`: one rollout + update
+    cycle, fully jittable (wrap in `jax.jit` or pjit with sharded env axis)."""
+    network, tx = aux["network"], aux["tx"]
+    step_env = make_batched_step(
+        env_cfg, aux["params_env"], aux["ctrl_params"], aux["target_pos"],
+        auto_reset=True,
+    )
+    n_drones, act_per = env_cfg.num_drones, env_cfg.action_dim
+
+    def policy_sample(params, obs, key):
+        mean, log_std, value = network.apply(params, _flat_obs(obs))
+        noise = jax.random.normal(key, mean.shape)
+        action = mean + jnp.exp(log_std) * noise
+        logp = _gaussian_log_prob(mean, log_std, action)
+        return action, logp, value
+
+    def compute_gae(traj: Transition, last_value):
+        def body(carry, inp):
+            gae, next_value, next_nonterminal = carry
+            value, reward, done = inp
+            delta = reward + ppo_cfg.gamma * next_value * next_nonterminal - value
+            gae = delta + ppo_cfg.gamma * ppo_cfg.gae_lambda * next_nonterminal * gae
+            return (gae, value, 1.0 - done.astype(value.dtype)), gae
+
+        (_, _, _), advantages = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value, jnp.ones_like(last_value)),
+            (traj.value, traj.reward, traj.done),
+            reverse=True,
+        )
+        return advantages, advantages + traj.value
+
+    def loss_fn(params, batch, advantages, returns):
+        mean, log_std, value = network.apply(params, _flat_obs_batch(batch.obs))
+        logp = _gaussian_log_prob(mean, log_std, batch.action)
+        ratio = jnp.exp(logp - batch.log_prob)
+        norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+        pg1 = -norm_adv * ratio
+        pg2 = -norm_adv * jnp.clip(ratio, 1.0 - ppo_cfg.clip_range, 1.0 + ppo_cfg.clip_range)
+        pg_loss = jnp.maximum(pg1, pg2).mean()
+        v_loss = 0.5 * jnp.mean((value - returns) ** 2)
+        entropy = jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e))
+        total = pg_loss + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * entropy
+        return total, (pg_loss, v_loss, entropy)
+
+    def _flat_obs_batch(obs):
+        return obs.reshape(obs.shape[0], -1)
+
+    def train_step(runner: PPORunnerState):
+        rng, roll_rng, perm_rng = jax.random.split(runner.rng, 3)
+        keys = jax.random.split(roll_rng, ppo_cfg.n_steps)
+
+        def rollout_body(carry, key):
+            env_state, obs = carry
+            action, logp, value = policy_sample(runner.params, obs, key)
+            env_action = jnp.clip(action, -1.0, 1.0).reshape(
+                action.shape[0], n_drones, act_per
+            )
+            env_state, out = step_env(env_state, env_action)
+            done = out.terminated | out.truncated
+            tr = Transition(obs=obs, action=action, log_prob=logp, value=value,
+                            reward=out.reward, done=done)
+            return (env_state, out.obs), tr
+
+        (env_state, obs), traj = jax.lax.scan(
+            rollout_body, (runner.env_state, runner.obs), keys
+        )
+        _, _, last_value = policy_sample(runner.params, obs, rng)
+        advantages, returns = compute_gae(traj, last_value)
+
+        # Flatten (T, E, ...) -> (T*E, ...)
+        def fl(x):
+            return x.reshape((-1,) + x.shape[2:])
+
+        flat = Transition(*[fl(x) for x in traj]), fl(advantages), fl(returns)
+        batch, adv, ret = flat
+        bsz = ppo_cfg.batch_size
+        nmb = ppo_cfg.num_minibatches
+        mbs = bsz // nmb
+
+        def epoch_body(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, bsz)
+
+            def mb_body(carry, idx):
+                params, opt_state = carry
+                take = lambda x: jnp.take(x, jax.lax.dynamic_slice_in_dim(perm, idx * mbs, mbs), axis=0)
+                mb = Transition(*[take(x) for x in batch])
+                (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, mb, take(adv), take(ret)
+                )
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                mb_body, (params, opt_state), jnp.arange(nmb)
+            )
+            return (params, opt_state), losses
+
+        epoch_keys = jax.random.split(perm_rng, ppo_cfg.n_epochs)
+        (params, opt_state), losses = jax.lax.scan(
+            epoch_body, (runner.params, runner.opt_state), epoch_keys
+        )
+        metrics = dict(
+            loss=losses.mean(),
+            mean_reward=traj.reward.mean(),
+            mean_value=traj.value.mean(),
+            episodes_done=traj.done.sum(),
+        )
+        new_runner = PPORunnerState(
+            params=params, opt_state=opt_state, env_state=env_state,
+            obs=obs, rng=rng, update_count=runner.update_count + 1,
+        )
+        return new_runner, metrics
+
+    return train_step
+
+
+def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
+                    num_envs: int = 1, deterministic: bool = True,
+                    rng: Optional[jax.Array] = None):
+    """Deterministic jitted eval rollout; returns (mean episode return, n
+    completed episodes) — the analogue of SB3's `evaluate_policy`
+    (learn.py:149-152)."""
+    network = aux["network"]
+    step_env = make_batched_step(
+        env_cfg, aux["params_env"], aux["ctrl_params"], aux["target_pos"],
+        auto_reset=True,
+    )
+    env_state = batch_reset(env_cfg, aux["params_env"], num_envs)
+    obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
+    rng = jax.random.key(0) if rng is None else rng
+
+    def body(carry, key):
+        env_state, obs = carry
+        mean, log_std, _ = network.apply(params, obs.reshape(obs.shape[0], -1))
+        action = mean if deterministic else mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
+        env_action = jnp.clip(action, -1.0, 1.0).reshape(
+            obs.shape[0], env_cfg.num_drones, env_cfg.action_dim
+        )
+        env_state, out = step_env(env_state, env_action)
+        done = out.terminated | out.truncated
+        return (env_state, out.obs), (out.reward, done)
+
+    @jax.jit
+    def run(env_state, obs, rng):
+        keys = jax.random.split(rng, num_steps)
+        (_, _), (rewards, dones) = jax.lax.scan(body, (env_state, obs), keys)
+        return rewards, dones
+
+    rewards, dones = run(env_state, obs, rng)
+    rewards, dones = np.asarray(rewards), np.asarray(dones)
+    totals, count, running = [], 0, np.zeros(num_envs)
+    for t in range(num_steps):
+        running += rewards[t]
+        for e in range(num_envs):
+            if dones[t, e]:
+                totals.append(running[e])
+                running[e] = 0.0
+                count += 1
+    mean_ret = float(np.mean(totals)) if totals else float(running.mean())
+    return mean_ret, count

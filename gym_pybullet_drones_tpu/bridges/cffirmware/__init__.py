@@ -1,0 +1,214 @@
+"""ctypes bindings for the native cffirm library (Crazyflie firmware subset).
+
+Python-facing API mirrors the `pycffirmware` surface the reference drives
+(CFAviary.py:127-131, :401-416, :422-433): `lpf2pData/lpf2pInit/lpf2pApply`,
+`control_t/setpoint_t/sensorData_t/state_t`, `controllerPid*`,
+`controllerMellinger*`, and the `crtpCommanderHighLevel*` planner calls, plus
+the `modeAbs/modeDisable/modeVelocity` constants. The shared library is built
+from src/cffirm.cpp with g++ on first import and cached next to the source.
+"""
+
+import ctypes
+import os
+import subprocess
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "cffirm.cpp")
+_LIB = os.path.join(_HERE, "src", "libcffirm.so")
+
+
+def _build():
+    if (os.path.exists(_LIB)
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+        return
+    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
+    subprocess.run(cmd, check=True, capture_output=True)
+
+
+_build()
+_lib = ctypes.CDLL(_LIB)
+
+# -- mode constants (enum stab_mode_t) ----------------------------------------
+modeDisable = 0
+modeAbs = 1
+modeVelocity = 2
+
+
+# -- struct mirrors (must match cffirm.cpp layouts) ---------------------------
+
+class vec3(ctypes.Structure):
+    _fields_ = [("x", ctypes.c_float), ("y", ctypes.c_float), ("z", ctypes.c_float)]
+
+
+class attitude_t(ctypes.Structure):
+    _fields_ = [("timestamp", ctypes.c_uint32), ("roll", ctypes.c_float),
+                ("pitch", ctypes.c_float), ("yaw", ctypes.c_float)]
+
+
+class quaternion_t(ctypes.Structure):
+    _fields_ = [("timestamp", ctypes.c_uint32), ("x", ctypes.c_float),
+                ("y", ctypes.c_float), ("z", ctypes.c_float), ("w", ctypes.c_float)]
+
+
+class point_t(ctypes.Structure):
+    _fields_ = [("timestamp", ctypes.c_uint32), ("x", ctypes.c_float),
+                ("y", ctypes.c_float), ("z", ctypes.c_float)]
+
+
+class state_t(ctypes.Structure):
+    _fields_ = [("attitude", attitude_t), ("attitudeQuaternion", quaternion_t),
+                ("position", point_t), ("velocity", point_t), ("acc", point_t)]
+
+
+class sensorData_t(ctypes.Structure):
+    _fields_ = [("acc", vec3), ("gyro", vec3), ("mag", vec3),
+                ("interruptTimestamp", ctypes.c_uint64)]
+
+
+class setpoint_mode_t(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_int32) for n in
+                ("x", "y", "z", "roll", "pitch", "yaw", "quat")]
+
+
+class setpoint_t(ctypes.Structure):
+    _fields_ = [("timestamp", ctypes.c_uint32), ("attitude", attitude_t),
+                ("attitudeRate", attitude_t), ("attitudeQuaternion", quaternion_t),
+                ("thrust", ctypes.c_float), ("position", point_t),
+                ("velocity", point_t), ("acceleration", point_t),
+                ("velocity_body", ctypes.c_int32), ("mode", setpoint_mode_t)]
+
+
+class control_t(ctypes.Structure):
+    _fields_ = [("roll", ctypes.c_float), ("pitch", ctypes.c_float),
+                ("yaw", ctypes.c_float), ("thrust", ctypes.c_float)]
+
+
+class lpf2pData(ctypes.Structure):
+    _fields_ = [(n, ctypes.c_float) for n in
+                ("a1", "a2", "b0", "b1", "b2", "delay1", "delay2")]
+
+
+# -- function prototypes ------------------------------------------------------
+
+_lib.lpf2pInit.argtypes = [ctypes.POINTER(lpf2pData), ctypes.c_float, ctypes.c_float]
+_lib.lpf2pApply.argtypes = [ctypes.POINTER(lpf2pData), ctypes.c_float]
+_lib.lpf2pApply.restype = ctypes.c_float
+_lib.controllerPidInit.argtypes = []
+_lib.controllerPidTest.restype = ctypes.c_int
+_lib.controllerPid.argtypes = [
+    ctypes.POINTER(control_t), ctypes.POINTER(setpoint_t),
+    ctypes.POINTER(sensorData_t), ctypes.POINTER(state_t), ctypes.c_uint32]
+_lib.controllerMellingerInit.argtypes = []
+_lib.controllerMellingerTest.restype = ctypes.c_int
+_lib.controllerMellinger.argtypes = _lib.controllerPid.argtypes
+_lib.crtpCommanderHighLevelInit.argtypes = []
+_lib.crtpCommanderHighLevelTellState.argtypes = [ctypes.POINTER(state_t)]
+_lib.crtpCommanderHighLevelUpdateTime.argtypes = [ctypes.c_float]
+_lib.crtpCommanderHighLevelIsTrajectoryFinished.restype = ctypes.c_int
+_lib.crtpCommanderHighLevelStop.argtypes = []
+_lib.crtpCommanderHighLevelTakeoff.argtypes = [ctypes.c_float, ctypes.c_float]
+_lib.crtpCommanderHighLevelTakeoffYaw.argtypes = [ctypes.c_float] * 3
+_lib.crtpCommanderHighLevelLand.argtypes = [ctypes.c_float, ctypes.c_float]
+_lib.crtpCommanderHighLevelLandYaw.argtypes = [ctypes.c_float] * 3
+_lib.crtpCommanderHighLevelTakeoffWithVelocity.argtypes = [
+    ctypes.c_float, ctypes.c_float, ctypes.c_int]
+_lib.crtpCommanderHighLevelLandWithVelocity.argtypes = [
+    ctypes.c_float, ctypes.c_float, ctypes.c_int]
+_lib.crtpCommanderHighLevelGoTo.argtypes = [
+    ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+    ctypes.c_float, ctypes.c_int]
+_lib.crtpCommanderHighLevelGetSetpoint.argtypes = [
+    ctypes.POINTER(setpoint_t), ctypes.POINTER(state_t)]
+
+
+# -- pycffirmware-style free functions ----------------------------------------
+
+def lpf2pInit(f, sample_freq, cutoff_freq):
+    _lib.lpf2pInit(ctypes.byref(f), sample_freq, cutoff_freq)
+
+
+def lpf2pApply(f, sample):
+    return _lib.lpf2pApply(ctypes.byref(f), float(sample))
+
+
+def controllerPidInit():
+    _lib.controllerPidInit()
+
+
+def controllerPidTest():
+    return bool(_lib.controllerPidTest())
+
+
+def controllerPid(control, setpoint, sensorData, state, tick):
+    _lib.controllerPid(ctypes.byref(control), ctypes.byref(setpoint),
+                       ctypes.byref(sensorData), ctypes.byref(state), tick)
+
+
+def controllerMellingerInit():
+    _lib.controllerMellingerInit()
+
+
+def controllerMellingerTest():
+    return bool(_lib.controllerMellingerTest())
+
+
+def controllerMellinger(control, setpoint, sensorData, state, tick):
+    _lib.controllerMellinger(ctypes.byref(control), ctypes.byref(setpoint),
+                             ctypes.byref(sensorData), ctypes.byref(state), tick)
+
+
+def crtpCommanderHighLevelInit():
+    _lib.crtpCommanderHighLevelInit()
+
+
+def crtpCommanderHighLevelTellState(state):
+    _lib.crtpCommanderHighLevelTellState(ctypes.byref(state))
+
+
+def crtpCommanderHighLevelUpdateTime(t):
+    _lib.crtpCommanderHighLevelUpdateTime(float(t))
+
+
+def crtpCommanderHighLevelIsTrajectoryFinished():
+    return bool(_lib.crtpCommanderHighLevelIsTrajectoryFinished())
+
+
+def crtpCommanderHighLevelStop():
+    _lib.crtpCommanderHighLevelStop()
+
+
+def crtpCommanderHighLevelTakeoff(height, duration):
+    _lib.crtpCommanderHighLevelTakeoff(height, duration)
+
+
+def crtpCommanderHighLevelTakeoffYaw(height, duration, yaw):
+    _lib.crtpCommanderHighLevelTakeoffYaw(height, duration, yaw)
+
+
+def crtpCommanderHighLevelLand(height, duration):
+    _lib.crtpCommanderHighLevelLand(height, duration)
+
+
+def crtpCommanderHighLevelLandYaw(height, duration, yaw):
+    _lib.crtpCommanderHighLevelLandYaw(height, duration, yaw)
+
+
+def crtpCommanderHighLevelTakeoffWithVelocity(height, vel, relative):
+    _lib.crtpCommanderHighLevelTakeoffWithVelocity(height, vel, int(relative))
+
+
+def crtpCommanderHighLevelLandWithVelocity(height, vel, relative):
+    _lib.crtpCommanderHighLevelLandWithVelocity(height, vel, int(relative))
+
+
+def crtpCommanderHighLevelGoTo(x, y, z, yaw, duration, relative):
+    _lib.crtpCommanderHighLevelGoTo(x, y, z, yaw, duration, int(relative))
+
+
+def crtpCommanderHighLevelGetSetpoint(setpoint, state):
+    _lib.crtpCommanderHighLevelGetSetpoint(ctypes.byref(setpoint),
+                                           ctypes.byref(state))
+
+
+def controllerMellingerSetKdOmegaRP(kd):
+    _lib.controllerMellingerSetKdOmegaRP(ctypes.c_float(kd))

@@ -5,3 +5,17 @@ from gym_pybullet_drones_tpu.control.dsl_pid import (
     dsl_pid_params,
     dsl_pid_reset,
 )
+from gym_pybullet_drones_tpu.control.ctbr import CTBRParams, ctbr_control, ctbr_params
+from gym_pybullet_drones_tpu.control.mrac import (
+    MRACParams,
+    MRACState,
+    mrac_control,
+    mrac_params,
+    mrac_reset,
+)
+from gym_pybullet_drones_tpu.control.compat import (
+    BaseControl,
+    CTBRControl,
+    DSLPIDControl,
+    MRAC,
+)

@@ -1,0 +1,144 @@
+"""PPO training on the hover tasks, entirely on device.
+
+TPU-native retelling of reference examples/learn.py: same tasks (HoverAviary /
+MultiHoverAviary :53-66), same solved-reward thresholds (474 / 949.5 for
+ONE_D_RPM, 467 / 920 otherwise, :79-82), periodic evaluation with
+stop-on-threshold (:83-92), final deterministic evaluation and a logged
+rollout (:149-192) — but SB3's CPU/torch PPO is replaced by the jitted
+actor-learner of `rl/ppo.py`, and the single env (n_envs=1, :57) becomes a
+vmapped batch, so one update cycle is one XLA program.
+
+`local=False` shrinks training to a CI-sized budget exactly like the
+reference (:93).
+"""
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import serialization
+
+from gym_pybullet_drones_tpu.envs import base as envbase
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_HOVER, TASK_MULTIHOVER
+from gym_pybullet_drones_tpu.envs.spec import ActionType, ObservationType
+from gym_pybullet_drones_tpu.rl.ppo import (
+    PPOConfig,
+    evaluate_policy,
+    make_ppo_train_step,
+    ppo_init,
+)
+from gym_pybullet_drones_tpu.utils.logger import Logger
+from gym_pybullet_drones_tpu.utils.utils import str2bool
+
+DEFAULT_GUI = False
+DEFAULT_OUTPUT_FOLDER = "results"
+DEFAULT_OBS = ObservationType.KIN
+DEFAULT_ACT = ActionType.ONE_D_RPM
+DEFAULT_AGENTS = 2
+DEFAULT_MA = False
+
+
+def run(
+    multiagent=DEFAULT_MA,
+    output_folder=DEFAULT_OUTPUT_FOLDER,
+    gui=DEFAULT_GUI,
+    plot=True,
+    colab=False,
+    record_video=False,
+    local=True,
+    obs=DEFAULT_OBS,
+    act=DEFAULT_ACT,
+    num_envs: int = 32,
+    seed: int = 0,
+):
+    os.makedirs(output_folder, exist_ok=True)
+    num_drones = DEFAULT_AGENTS if multiagent else 1
+    task = TASK_MULTIHOVER if multiagent else TASK_HOVER
+    env_cfg = AviaryConfig(
+        num_drones=num_drones, task=task, action_type=act, obs_type=obs,
+        pyb_freq=240, ctrl_freq=30, action_buffer_size=15, episode_len_sec=8.0,
+    )
+
+    # Solved thresholds (learn.py:79-82)
+    if act == ActionType.ONE_D_RPM:
+        target_reward = 949.5 if multiagent else 474.0
+    else:
+        target_reward = 920.0 if multiagent else 467.0
+
+    ppo_cfg = PPOConfig(num_envs=num_envs, n_steps=64, minibatch_size=256)
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))
+    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux), donate_argnums=(0,))
+
+    # Training budget: ~2M env-steps locally, 100 steps in CI (learn.py:93)
+    total_steps = int(2e6) if local else int(1e2)
+    updates = max(1, total_steps // ppo_cfg.batch_size)
+    eval_every = max(1, updates // 40)
+    eval_returns = []
+    best = -np.inf
+    best_params = runner.params
+    for u in range(updates):
+        runner, metrics = train(runner)
+        if (u + 1) % eval_every == 0 or u == updates - 1:
+            ret, n_eps = evaluate_policy(env_cfg, aux, runner.params,
+                                         num_steps=260, num_envs=4)
+            eval_returns.append((int((u + 1) * ppo_cfg.batch_size), ret))
+            print(f"[INFO] update {u+1}/{updates} mean episode return {ret:.1f} "
+                  f"({n_eps} eps), train reward/step {float(metrics['mean_reward']):.3f}")
+            if ret > best:
+                best = ret
+                best_params = runner.params
+            if ret >= target_reward:
+                print(f"[INFO] solved: {ret:.1f} >= {target_reward}")
+                break
+
+    # Persist the policy (flax msgpack; the analogue of model.save, learn.py:98)
+    save_path = os.path.join(output_folder, "best_model.msgpack")
+    with open(save_path, "wb") as f:
+        f.write(serialization.to_bytes(best_params))
+    print(f"[INFO] saved policy to {save_path}")
+
+    # Final deterministic evaluation (learn.py:149-152)
+    mean_ret, n_eps = evaluate_policy(env_cfg, aux, best_params,
+                                      num_steps=260 * 10, num_envs=1)
+    print(f"[INFO] final evaluation: mean return {mean_ret:.2f} over {n_eps} episodes")
+
+    # Logged deterministic rollout (learn.py:155-192)
+    network = aux["network"]
+    params_env, ctrl_params, target_pos = aux["params_env"], aux["ctrl_params"], aux["target_pos"]
+
+    @jax.jit
+    def rollout(state):
+        def body(carry, _):
+            s, o = carry
+            mean, _, _ = network.apply(best_params, o.reshape(1, -1))
+            a = jnp.clip(mean, -1.0, 1.0).reshape(num_drones, env_cfg.action_dim)
+            s, o2, r, t, tr = envbase.step(env_cfg, params_env, ctrl_params,
+                                           target_pos, s, a)
+            full = envbase.drone_state_vector(env_cfg, s)
+            return (s, o2), (full, r)
+        s0 = state
+        o0 = envbase.compute_obs(env_cfg, s0)
+        (_, _), (states, rewards) = jax.lax.scan(body, (s0, o0), None,
+                                                 length=int(8 * env_cfg.ctrl_freq))
+        return states, rewards
+
+    states, rewards = rollout(envbase.reset(env_cfg, params_env))
+    logger = Logger(logging_freq_hz=env_cfg.ctrl_freq, num_drones=num_drones,
+                    output_folder=output_folder, colab=colab)
+    logger.log_trajectory(np.asarray(states))
+    logger.save()
+    if plot:
+        logger.plot()
+    return eval_returns
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser(description="PPO training (on-device)")
+    parser.add_argument("--multiagent", default=DEFAULT_MA, type=str2bool)
+    parser.add_argument("--gui", default=DEFAULT_GUI, type=str2bool)
+    parser.add_argument("--output_folder", default=DEFAULT_OUTPUT_FOLDER, type=str)
+    parser.add_argument("--local", default=True, type=str2bool)
+    run(**vars(parser.parse_args()))

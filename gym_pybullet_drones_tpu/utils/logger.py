@@ -47,24 +47,43 @@ class Logger:
         self.PREALLOCATED_ARRAYS = duration_sec != 0
         cap = duration_sec * logging_freq_hz
         self.counters = np.zeros(num_drones, dtype=int)
-        self.timestamps = np.zeros((num_drones, cap))
-        self.states = np.zeros((num_drones, 16, cap))
-        self.controls = np.zeros((num_drones, 12, cap))
+        self._timestamps = np.zeros((num_drones, cap))
+        self._states = np.zeros((num_drones, 16, cap))
+        self._controls = np.zeros((num_drones, 12, cap))
 
     # -- ingestion -------------------------------------------------------------
 
+    # Public views are trimmed to the logged length, so user code that reads
+    # `logger.states` directly (as with the reference Logger, whose arrays
+    # grow a column at a time) never sees growth padding.
+    @property
+    def timestamps(self):
+        return self._timestamps[:, : self._len()]
+
+    @property
+    def states(self):
+        return self._states[:, :, : self._len()]
+
+    @property
+    def controls(self):
+        return self._controls[:, :, : self._len()]
+
+    def _len(self) -> int:
+        n = int(self.counters.max()) if self.counters.size else 0
+        return max(n, self._timestamps.shape[1] if self.PREALLOCATED_ARRAYS else 0)
+
     def _ensure_capacity(self, need: int):
-        cap = self.timestamps.shape[1]
+        cap = self._timestamps.shape[1]
         if need <= cap:
             return
         new_cap = max(need, max(16, 2 * cap))
         grow = new_cap - cap
-        self.timestamps = np.concatenate(
-            [self.timestamps, np.zeros((self.NUM_DRONES, grow))], axis=1)
-        self.states = np.concatenate(
-            [self.states, np.zeros((self.NUM_DRONES, 16, grow))], axis=2)
-        self.controls = np.concatenate(
-            [self.controls, np.zeros((self.NUM_DRONES, 12, grow))], axis=2)
+        self._timestamps = np.concatenate(
+            [self._timestamps, np.zeros((self.NUM_DRONES, grow))], axis=1)
+        self._states = np.concatenate(
+            [self._states, np.zeros((self.NUM_DRONES, 16, grow))], axis=2)
+        self._controls = np.concatenate(
+            [self._controls, np.zeros((self.NUM_DRONES, 12, grow))], axis=2)
 
     def log(self, drone: int, timestamp, state, control=None):
         """Log one step of one drone: `state` is the 20-dim aviary state
@@ -79,9 +98,9 @@ class Logger:
             return
         c = self.counters[drone]
         self._ensure_capacity(c + 1)
-        self.timestamps[drone, c] = timestamp
-        self.states[drone, :, c] = _reorder_state(state)
-        self.controls[drone, :, c] = control
+        self._timestamps[drone, c] = timestamp
+        self._states[drone, :, c] = _reorder_state(state)
+        self._controls[drone, :, c] = control
         self.counters[drone] = c + 1
 
     def log_trajectory(self, states, timestamps=None, controls=None):
@@ -95,20 +114,19 @@ class Logger:
         self._ensure_capacity(start + T)
         if timestamps is None:
             timestamps = (start + np.arange(T)) / self.LOGGING_FREQ_HZ
-        self.timestamps[:, start:start + T] = np.broadcast_to(
+        self._timestamps[:, start:start + T] = np.broadcast_to(
             np.asarray(timestamps), (N, T))
-        self.states[:, :, start:start + T] = np.transpose(
+        self._states[:, :, start:start + T] = np.transpose(
             _reorder_state(states), (1, 2, 0))
         if controls is not None:
-            self.controls[:, :, start:start + T] = np.transpose(
+            self._controls[:, :, start:start + T] = np.transpose(
                 np.asarray(controls), (1, 2, 0))
         self.counters[:] = start + T
 
     # -- persistence -----------------------------------------------------------
 
     def _trim(self):
-        n = int(self.counters.max())
-        return self.timestamps[:, :n], self.states[:, :, :n], self.controls[:, :, :n]
+        return self.timestamps, self.states, self.controls
 
     def save(self):
         """npz with the reference's keys (Logger.save, :123-127)."""

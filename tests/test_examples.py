@@ -1,0 +1,61 @@
+"""Example smoke tests (reference tests/test_examples.py:1-15): each example's
+`run()` entry point executes headless without raising — plus light numeric
+sanity checks the reference never had."""
+
+import numpy as np
+import pytest
+
+import matplotlib
+
+matplotlib.use("Agg")
+
+from gym_pybullet_drones_tpu.examples import downwash, learn, mrac, pid, pid_velocity
+
+
+def test_pid(tmp_path):
+    logger = pid.run(gui=False, plot=False, output_folder=str(tmp_path),
+                     duration_sec=4)
+    st = logger.states
+    # Drones hold their assigned altitudes on the helix (pid.py:64: H + i*0.05)
+    assert np.allclose(st[:, 2, -1], [0.1, 0.15, 0.2], atol=0.02)
+    assert (tmp_path / "save-flight-pid-" != "")  # csv dir created below
+    assert any(p.name.startswith("save-flight") for p in tmp_path.iterdir())
+
+
+def test_pid_velocity(tmp_path):
+    logger = pid_velocity.run(gui=False, plot=False, output_folder=str(tmp_path))
+    st = logger.states
+    assert st.shape[0] == 4 and st.shape[2] == 48 * 5
+    assert np.all(np.isfinite(st))
+
+
+def test_downwash(tmp_path):
+    logger = downwash.run(gui=False, plot=False, output_folder=str(tmp_path),
+                          duration_sec=4)
+    st = logger.states
+    # Both drones survive the wake crossings near their start altitudes
+    assert abs(st[0, 2, -1] - 1.0) < 0.1
+    assert abs(st[1, 2, -1] - 0.5) < 0.15
+
+
+def test_learn_ci_budget(tmp_path):
+    # local=False shrinks the budget like the reference CI path (learn.py:93)
+    evals = learn.run(gui=False, plot=False, output_folder=str(tmp_path),
+                      local=False, num_envs=4)
+    assert len(evals) >= 1
+    assert np.isfinite(evals[-1][1])
+    assert (tmp_path / "best_model.msgpack").exists()
+
+
+def test_play_roundtrip(tmp_path):
+    from gym_pybullet_drones_tpu.examples import play
+
+    learn.run(gui=False, plot=False, output_folder=str(tmp_path),
+              local=False, num_envs=4)
+    total = play.play(output_folder=str(tmp_path), plot=False)
+    assert np.isfinite(total)
+
+
+def test_mrac(tmp_path):
+    final_pos = mrac.run(plot=False, output_folder=str(tmp_path), duration_sec=10)
+    assert abs(final_pos[2] - 1.0) < 0.05

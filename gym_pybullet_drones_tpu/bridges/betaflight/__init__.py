@@ -1,0 +1,195 @@
+"""ctypes bindings for the Betaflight SITL UDP bridge (built on first import).
+
+`BetaBridge` wraps one SITL channel triple (state-out 9003+10i, rc-out
+9004+10i, pwm-in 9002+10i) with the reference's wire formats
+(BetaAviary.py:126-170). `MockSITL` is a pure-Python stand-in flight
+controller for tests and demos when the external `betaflight_SITL.elf`
+artifact is not present: it runs a rate-mode P controller + X mixer over the
+same wire protocol.
+"""
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "src", "betabridge.cpp")
+_LIB = os.path.join(_HERE, "src", "libbetabridge.so")
+
+
+def _build():
+    if (os.path.exists(_LIB)
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+        return
+    subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
+                    "-o", _LIB], check=True, capture_output=True)
+
+
+_build()
+_lib = ctypes.CDLL(_LIB)
+_lib.bb_create.restype = ctypes.c_void_p
+_lib.bb_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
+_lib.bb_destroy.argtypes = [ctypes.c_void_p]
+_lib.bb_send_fdm.restype = ctypes.c_int
+_lib.bb_send_fdm.argtypes = [ctypes.c_void_p, ctypes.c_double] + \
+    [ctypes.POINTER(ctypes.c_double)] * 5 + [ctypes.c_double]
+_lib.bb_send_rc.restype = ctypes.c_int
+_lib.bb_send_rc.argtypes = [ctypes.c_void_p, ctypes.c_double,
+                            ctypes.POINTER(ctypes.c_uint16)]
+_lib.bb_recv_pwm.restype = ctypes.c_int
+_lib.bb_recv_pwm.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_float)]
+
+
+def _dptr(arr):
+    a = np.ascontiguousarray(arr, dtype=np.float64)
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+class BetaBridge:
+    """One drone's UDP channel triple to a Betaflight SITL instance."""
+
+    def __init__(self, drone_index: int = 0, udp_ip: str = "127.0.0.1"):
+        self._h = _lib.bb_create(udp_ip.encode(), drone_index)
+        if not self._h:
+            raise OSError(f"betabridge: failed to bind PWM port for drone {drone_index}")
+
+    def close(self):
+        if self._h:
+            _lib.bb_destroy(self._h)
+            self._h = None
+
+    def __del__(self):
+        self.close()
+
+    def send_fdm(self, t, gyro_body, lin_acc=(0, 0, 0),
+                 quat_wxyz=(1, 0, 0, 0), vel=(0, 0, 0), pos=(0, 0, 0),
+                 pressure=1.0):
+        """FDM state packet; ENU->NED gyro sign flips happen in the bridge."""
+        return _lib.bb_send_fdm(self._h, float(t), _dptr(gyro_body),
+                                _dptr(lin_acc), _dptr(quat_wxyz), _dptr(vel),
+                                _dptr(pos), float(pressure)) == 0
+
+    def send_rc(self, t, channels):
+        ch = np.ascontiguousarray(channels, dtype=np.uint16)
+        assert ch.shape == (16,), ch.shape
+        return _lib.bb_send_rc(self._h, float(t),
+                               ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))) == 0
+
+    def recv_pwm(self):
+        """(pwm[4] in 0..1, fresh: bool); stale values repeat on miss."""
+        out = (ctypes.c_float * 4)()
+        fresh = _lib.bb_recv_pwm(self._h, out)
+        return np.array(out[:]), bool(fresh)
+
+
+class MockSITL:
+    """Pure-Python stand-in Betaflight: rate-mode P control + X mixer.
+
+    Listens on the drone's state (9003+10i) and RC (9004+10i) ports, replies
+    motor PWM fractions on 9002+10i. Arms when aux1 >= 1500 like the real
+    SITL driven by the reference (BetaAviary.py:149-159).
+    """
+
+    # pwm-fraction per deg/s of rate error. Sized for the RACE model's
+    # authority (tau/err ~ 21/s closed-loop pole, stable with the ~2-tick
+    # wire delay at 500 Hz); the real SITL replaces this loop entirely.
+    RATE_P = np.array([0.0005, 0.0005, 0.001])
+    MAX_RATE_DPS = 360.0
+
+    # Mixer rows in Betaflight motor order, columns (p, q, r) gains. Derived
+    # from the reference's sim-motor remap [2,1,3,0] (BetaAviary.py:258-266)
+    # against each model's URDF prop layout: the racer's motors sit at
+    # (+x,+y), (-x,+y), (-x,-y), (+x,-y) with the yaw reaction sign flipped
+    # (racer.urdf:36-74, BaseAviary.py:695-697), unlike the cf2x X layout.
+    MIX_RACE = np.array([
+        [-1.0, -1.0, -1.0],  # BF0 -> sim m3 (+x, -y)
+        [1.0, 1.0, -1.0],    # BF1 -> sim m1 (-x, +y)
+        [1.0, -1.0, 1.0],    # BF2 -> sim m0 (+x, +y)
+        [-1.0, 1.0, 1.0],    # BF3 -> sim m2 (-x, -y)
+    ])
+    MIX_CF2X = np.array([
+        [1.0, -1.0, 1.0],    # BF0 -> sim m3 (+x, +y)
+        [-1.0, 1.0, 1.0],    # BF1 -> sim m1 (-x, -y)
+        [-1.0, -1.0, -1.0],  # BF2 -> sim m0 (+x, -y)
+        [1.0, 1.0, -1.0],    # BF3 -> sim m2 (-x, +y)
+    ])
+
+    def __init__(self, drone_index: int = 0, udp_ip: str = "127.0.0.1",
+                 mix: np.ndarray = None):
+        import socket
+
+        self.index = drone_index
+        self.ip = udp_ip
+        self.mix = self.MIX_RACE if mix is None else mix
+        self.sock_state = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock_state.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock_state.bind((udp_ip, 9003 + 10 * drone_index))
+        self.sock_state.settimeout(0.05)
+        self.sock_rc = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self.sock_rc.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self.sock_rc.bind((udp_ip, 9004 + 10 * drone_index))
+        self.sock_rc.settimeout(0.0)
+        self.sock_out = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._rc = np.array([1500, 1500, 1000, 1500] + [1000] * 12, dtype=np.uint16)
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=1.0)
+        for s in (self.sock_state, self.sock_rc, self.sock_out):
+            s.close()
+
+    def _loop(self):
+        import socket
+        import struct
+
+        while not self._stop.is_set():
+            try:
+                data, _ = self.sock_state.recvfrom(1024)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            if len(data) != 18 * 8:
+                continue
+            vals = struct.unpack("@dddddddddddddddddd", data)
+            # Wire gyro carries ENU body rates with NED sign flips on y,z
+            # (BetaAviary.py:129-131); undo them to work in ENU.
+            gyro_enu = np.array(vals[1:4]) * np.array([1.0, -1.0, -1.0])
+            # Drain RC to the latest packet
+            while True:
+                try:
+                    rc_raw, _ = self.sock_rc.recvfrom(1024)
+                    if len(rc_raw) == 8 + 32:
+                        self._rc = np.array(
+                            struct.unpack("@dHHHHHHHHHHHHHHHH", rc_raw)[1:],
+                            dtype=np.uint16)
+                except (BlockingIOError, socket.error):
+                    break
+            roll_c, pitch_c, thro_c, yaw_c = self._rc[0:4].astype(float)
+            armed = self._rc[4] >= 1500
+            if not armed:
+                pwm = np.zeros(4, dtype=np.float32)
+            else:
+                # Channel deviations encode desired ENU body rates (p, q, -r):
+                # the inverse of ctbr2beta (BetaAviary.py:176-188).
+                dev = (np.array([roll_c, pitch_c, yaw_c]) - 1500.0) / 500.0
+                sp_dps = dev * self.MAX_RATE_DPS * np.array([1.0, 1.0, -1.0])
+                err = sp_dps - np.degrees(gyro_enu)
+                u = self.RATE_P * err  # pwm-fraction corrections (p, q, r)
+                throttle = (thro_c - 1000.0) / 1000.0
+                pwm = throttle + self.mix @ u
+                pwm = np.clip(pwm, 0.0, 1.0).astype(np.float32)
+            packet = struct.pack("@ffff", *pwm)
+            try:
+                self.sock_out.sendto(packet, (self.ip, 9002 + 10 * self.index))
+            except OSError:
+                break

@@ -18,6 +18,7 @@ Space definitions are numeric copies of the reference's:
     (BaseRLAviary.py:242-277)
 """
 
+import os
 import time
 from typing import Optional
 
@@ -113,6 +114,14 @@ class BaseAviaryEnv(gym.Env):
         self._state = None
         self.GUI, self.RECORD, self.OBSTACLES = gui, record, obstacles
         self.OUTPUT_FOLDER = output_folder
+        # Recording (BaseAviary._startVideoRecording, :523-537): with
+        # record=True, drone-0 POV frames are ray-cast every CAPTURE_FREQ
+        # steps and saved as numbered PNGs under OUTPUT_FOLDER/recording_*.
+        self.FRAME_PER_SEC = 24
+        self.CAPTURE_FREQ = max(1, int(ctrl_freq / self.FRAME_PER_SEC))
+        self._record_dir = None
+        self._frame_num = 0
+        self._step_index = 0
 
         # Reference public constants (BaseAviary.py:74-216)
         self.NUM_DRONES = num_drones
@@ -186,18 +195,48 @@ class BaseAviaryEnv(gym.Env):
     def step_counter(self) -> int:
         return int(self._state.step_count) if self._state is not None else 0
 
+    @staticmethod
+    def _np_obs(obs):
+        obs = np.asarray(obs)
+        return obs if obs.dtype == np.uint8 else obs.astype(np.float32)
+
     def reset(self, seed: Optional[int] = None, options=None):
         super().reset(seed=seed)
         self._state = envbase.reset(self.cfg, self.params)
-        obs = np.asarray(envbase.compute_obs(self.cfg, self._state))
+        obs = self._np_obs(envbase.compute_obs(self.cfg, self._state))
         self._start_wall = time.time()
-        return obs.astype(np.float32), self._computeInfo()
+        if self.RECORD:
+            import datetime
+            self._record_dir = os.path.join(
+                self.OUTPUT_FOLDER,
+                "recording_" + datetime.datetime.now().strftime("%m.%d.%Y_%H.%M.%S"))
+            os.makedirs(self._record_dir, exist_ok=True)
+            self._frame_num = 0
+            self._step_index = 0
+        return obs, self._computeInfo()
+
+    def _maybe_record(self):
+        if not self.RECORD or self._record_dir is None:
+            return
+        if self._step_index % self.CAPTURE_FREQ == 0:
+            from gym_pybullet_drones_tpu.envs.spec import ImageType
+            from gym_pybullet_drones_tpu.render.camera import (
+                CameraConfig, export_image, render_drone_views)
+
+            rgba, _, _ = render_drone_views(
+                self._state.kin.pos, self._state.kin.quat, self.params.arm,
+                CameraConfig(width=128, height=96))
+            export_image(ImageType.RGB, np.asarray(rgba[0]),
+                         self._record_dir, self._frame_num)
+            self._frame_num += 1
+        self._step_index += 1
 
     def step(self, action):
         action = np.asarray(action)
         self._state, obs, reward, term, trunc = self._jit_step(self._state, action)
+        self._maybe_record()
         return (
-            np.asarray(obs, dtype=np.float32),
+            self._np_obs(obs),
             float(reward),
             bool(term),
             bool(trunc),
@@ -237,6 +276,12 @@ class BaseAviaryEnv(gym.Env):
 
     def getDroneIds(self):
         return np.arange(self.NUM_DRONES)
+
+    def getPyBulletClient(self):
+        """API-parity stub (BaseAviary.getPyBulletClient): there is no
+        PyBullet client in this stack; returns -1 so scripts that merely
+        thread the handle through keep working."""
+        return -1
 
     def _getDroneStateVector(self, nth_drone: int) -> np.ndarray:
         """Reference 20-dim state accessor (BaseAviary.py:541-561)."""
@@ -313,6 +358,11 @@ class _RLAviary(BaseAviaryEnv):
 
     def _observation_space(self):
         n, a = self.NUM_DRONES, self.cfg.action_dim
+        if self.OBS_TYPE == ObservationType.RGB:
+            # (N, H, W, 4) uint8 frames (BaseRLAviary.py:253-256); IMG_RES is
+            # (width=64, height=48) like the reference default (:34).
+            return spaces.Box(low=0, high=255, shape=(n, 48, 64, 4),
+                              dtype=np.uint8)
         lo = np.full((n, 12), -np.inf)
         lo[:, 2] = 0.0
         hi = np.full((n, 12), np.inf)

@@ -64,6 +64,31 @@ class DSLPIDControl(BaseControl):
         )
         self.reset()
 
+    def setPIDCoefficients(self, p_coeff_pos=None, i_coeff_pos=None,
+                           d_coeff_pos=None, p_coeff_att=None,
+                           i_coeff_att=None, d_coeff_att=None):
+        """Swap PID gains (BaseControl.setPIDCoefficients, :138-177); the
+        params pytree is rebuilt and the kernel retraces on next call."""
+        import numpy as _np
+
+        def pick(new, old):
+            return jnp.asarray(_np.asarray(new), jnp.float32) if new is not None else old
+
+        self.params = self.params.replace(
+            p_for=pick(p_coeff_pos, self.params.p_for),
+            i_for=pick(i_coeff_pos, self.params.i_for),
+            d_for=pick(d_coeff_pos, self.params.d_for),
+            p_tor=pick(p_coeff_att, self.params.p_tor),
+            i_tor=pick(i_coeff_att, self.params.i_tor),
+            d_tor=pick(d_coeff_att, self.params.d_tor),
+        )
+        params = self.params
+        self._jit = jax.jit(
+            lambda st, dt, pos, quat, vel, tp, tr, tv, trr: dsl_pid_control(
+                params, st, dt, pos, quat, vel, tp, tr, tv, trr
+            )
+        )
+
     def reset(self):
         super().reset()
         self.state = dsl_pid_reset(())

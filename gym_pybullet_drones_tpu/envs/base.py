@@ -279,6 +279,15 @@ def drone_state_vector(cfg: AviaryConfig, state: AviaryState):
 def compute_obs(cfg: AviaryConfig, state: AviaryState):
     if cfg.task in (TASK_CTRL, TASK_VELOCITY):
         return drone_state_vector(cfg, state)  # (N, 20)
+    if cfg.obs_type == ObservationType.RGB:
+        # Drone-POV RGBA frames (BaseRLAviary._computeObs RGB path, :293-306);
+        # rendered by the on-device ray-caster instead of PyBullet's camera.
+        from gym_pybullet_drones_tpu.render.camera import CameraConfig, render_drone_views
+
+        params = build_params(cfg)
+        rgba, _, _ = render_drone_views(
+            state.kin.pos, state.kin.quat, params.arm, CameraConfig())
+        return rgba  # (N, 48, 64, 4) uint8
     # RL KIN obs: 12-dim kinematics + flattened action buffer, oldest first
     # (BaseRLAviary._computeObs, :307-319)
     full = drone_state_vector(cfg, state)

@@ -1,0 +1,184 @@
+"""On-device camera: a vectorized JAX ray-caster for drone POV images.
+
+TPU-native replacement for the reference's PyBullet TinyRenderer camera
+(BaseAviary._getDroneImages, BaseAviary.py:565-617): same camera model — eye
+at `pos + (0, 0, L)`, looking along the body +x axis toward
+`pos + R @ [1000, 0, 0]`, up (0,0,1), FOV 60 deg, aspect 1, near = L,
+far = 1000, default resolution 64x48 (BaseRLAviary.py:34) — but implemented
+as a batched analytic ray-caster that jits and vmaps over the drone axis, so
+RGB observations stay inside the fused step (no host round-trip).
+
+Scene contents mirror what the reference renders: the ground plane (checker
+pattern), every *other* drone (as a sphere of the collision radius), and the
+four RGB-task landmarks at [1,0,.1], [0,1,.1], [-1,0,.1], [0,-1,.1]
+(BaseRLAviary._addObstacles, :99-128). Outputs match `getCameraImage`:
+RGBA uint8, OpenGL-style nonlinear depth in [0,1], and an integer
+segmentation mask (-1 sky, 0 plane, 1..N drones, N+1..N+4 landmarks).
+"""
+
+import dataclasses
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
+from gym_pybullet_drones_tpu.envs.spec import ImageType
+
+# Landmark spheres standing in for the reference's block/cube/duck/teddy
+# URDFs (BaseRLAviary.py:108-126): position, radius, RGB color.
+_LANDMARKS = np.array([
+    [1.0, 0.0, 0.1], [0.0, 1.0, 0.1], [-1.0, 0.0, 0.1], [0.0, -1.0, 0.1],
+])
+_LANDMARK_R = np.array([0.1, 0.05, 0.12, 0.15])
+_LANDMARK_RGB = np.array([
+    [200, 60, 60], [90, 90, 220], [240, 210, 60], [170, 110, 70],
+])
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    width: int = 64
+    height: int = 48
+    fov_deg: float = 60.0
+    aspect: float = 1.0
+    far: float = 1000.0
+    drone_radius: float = 0.08
+    with_landmarks: bool = True
+
+
+def _ray_sphere(origin, direction, center, radius):
+    """Smallest positive hit distance (inf if missed). Shapes broadcast."""
+    oc = origin - center
+    b = jnp.sum(direction * oc, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - radius**2
+    disc = b * b - c
+    sqrt_d = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sqrt_d
+    t1 = -b + sqrt_d
+    t = jnp.where(t0 > 1e-4, t0, t1)
+    return jnp.where((disc > 0) & (t > 1e-4), t, jnp.inf)
+
+
+def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig()):
+    """(N,3) positions + (N,4) xyzw quats -> (rgb (N,H,W,4) u8,
+    dep (N,H,W) f32, seg (N,H,W) i32)."""
+    pos = jnp.asarray(pos)
+    quat = jnp.asarray(quat)
+    N = pos.shape[0]
+    H, W = cfg.height, cfg.width
+    near = arm
+    tan_half = jnp.tan(jnp.deg2rad(cfg.fov_deg) / 2.0)
+
+    R = quat_to_matrix(quat)  # (N, 3, 3)
+    eye = pos + jnp.asarray([0.0, 0.0, 1.0]) * arm  # BaseAviary.py:595
+    forward = R[..., :, 0]  # body +x in world coords
+    fwd = forward / jnp.linalg.norm(forward, axis=-1, keepdims=True)
+    world_up = jnp.asarray([0.0, 0.0, 1.0])
+    right = jnp.cross(fwd, jnp.broadcast_to(world_up, fwd.shape))
+    right = right / jnp.maximum(jnp.linalg.norm(right, axis=-1, keepdims=True), 1e-6)
+    cam_up = jnp.cross(right, fwd)
+
+    # Pixel grid in NDC; y runs top -> bottom like getCameraImage
+    xs = (jnp.arange(W) + 0.5) / W * 2.0 - 1.0
+    ys = 1.0 - (jnp.arange(H) + 0.5) / H * 2.0
+    px, py = jnp.meshgrid(xs, ys)  # (H, W)
+
+    # Ray directions per drone: (N, H, W, 3)
+    d = (
+        fwd[:, None, None, :]
+        + px[None, :, :, None] * tan_half * cfg.aspect * right[:, None, None, :]
+        + py[None, :, :, None] * tan_half * cam_up[:, None, None, :]
+    )
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = eye[:, None, None, :]
+
+    # --- ground plane z = 0 (id 0, checkerboard) -----------------------------
+    t_plane = jnp.where(d[..., 2] < -1e-6, -o[..., 2] / d[..., 2], jnp.inf)
+    hit_plane = o + d * t_plane[..., None]
+    checker = ((jnp.floor(hit_plane[..., 0]) + jnp.floor(hit_plane[..., 1])) % 2.0)
+    plane_rgb = jnp.where(checker[..., None] > 0.5,
+                          jnp.asarray([150.0, 150.0, 150.0]),
+                          jnp.asarray([120.0, 130.0, 120.0]))
+
+    best_t = t_plane
+    best_id = jnp.where(jnp.isfinite(t_plane), 0, -1)
+    best_rgb = jnp.where(jnp.isfinite(t_plane)[..., None], plane_rgb, 0.0)
+
+    def consider(best, t, obj_id, rgb):
+        best_t, best_id, best_rgb = best
+        closer = t < best_t
+        return (
+            jnp.where(closer, t, best_t),
+            jnp.where(closer, obj_id, best_id),
+            jnp.where(closer[..., None], rgb, best_rgb),
+        )
+
+    # --- other drones as spheres (ids 1..N) ----------------------------------
+    for j in range(N):
+        t_j = _ray_sphere(o, d, pos[j][None, None, None, :], cfg.drone_radius)
+        # A drone never sees itself (camera sits above its own sphere)
+        t_j = jnp.where(
+            jnp.arange(N)[:, None, None] == j, jnp.inf, t_j)
+        n_j = (o + d * t_j[..., None]) - pos[j]
+        shade = jnp.clip(n_j[..., 2] / cfg.drone_radius, 0.2, 1.0)
+        rgb_j = jnp.stack([80.0 * shade, 80.0 * shade, 90.0 * shade], -1) + 100.0
+        best_t, best_id, best_rgb = consider(
+            (best_t, best_id, best_rgb), t_j, j + 1, rgb_j)
+
+    # --- landmarks (ids N+1..N+4) --------------------------------------------
+    if cfg.with_landmarks:
+        for k in range(4):
+            c = jnp.asarray(_LANDMARKS[k])
+            t_k = _ray_sphere(o, d, c[None, None, None, :], _LANDMARK_R[k])
+            n_k = (o + d * t_k[..., None]) - c
+            shade = jnp.clip(0.4 + 0.6 * n_k[..., 2] / _LANDMARK_R[k], 0.3, 1.0)
+            rgb_k = jnp.asarray(_LANDMARK_RGB[k], dtype=jnp.float32) * shade[..., None]
+            best_t, best_id, best_rgb = consider(
+                (best_t, best_id, best_rgb), t_k, N + 1 + k, rgb_k)
+
+    # --- sky ------------------------------------------------------------------
+    sky = jnp.stack([
+        jnp.full_like(best_t, 135.0), jnp.full_like(best_t, 180.0),
+        jnp.full_like(best_t, 235.0)], -1)
+    miss = ~jnp.isfinite(best_t)
+    rgb = jnp.where(miss[..., None], sky, best_rgb)
+    rgba = jnp.concatenate(
+        [rgb, jnp.full_like(best_t, 255.0)[..., None]], -1
+    ).astype(jnp.uint8)
+
+    # OpenGL nonlinear depth buffer value (getCameraImage convention):
+    # depth = (1/near - 1/z) / (1/near - 1/far); background -> 1.0
+    z_eye = jnp.sum(d * fwd[:, None, None, :], axis=-1) * best_t
+    z_eye = jnp.clip(z_eye, near, cfg.far)
+    dep = (1.0 / near - 1.0 / z_eye) / (1.0 / near - 1.0 / cfg.far)
+    dep = jnp.where(miss, 1.0, dep).astype(jnp.float32)
+
+    seg = jnp.where(miss, -1, best_id).astype(jnp.int32)
+    return rgba, dep, seg
+
+
+def export_image(img_type: ImageType, img_input, path: str, frame_num: int = 0):
+    """PNG export with the reference's per-type normalizations
+    (BaseAviary._exportImage, :624-654)."""
+    from PIL import Image
+
+    img_input = np.asarray(img_input)
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, f"frame_{frame_num}.png")
+    if img_type == ImageType.RGB:
+        Image.fromarray(img_input.astype("uint8"), "RGBA").save(out)
+        return out
+    if img_type in (ImageType.DEP, ImageType.SEG):
+        lo, hi = img_input.min(), img_input.max()
+        scale = 255.0 / (hi - lo) if hi > lo else 0.0
+        temp = ((img_input - lo) * scale).astype("uint8")
+    elif img_type == ImageType.BW:
+        temp = (np.sum(img_input[:, :, 0:2], axis=2) / 3).astype("uint8")
+    else:
+        raise ValueError(f"unknown ImageType {img_type}")
+    Image.fromarray(temp).save(out)
+    return out

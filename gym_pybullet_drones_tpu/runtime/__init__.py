@@ -3,3 +3,13 @@ from gym_pybullet_drones_tpu.runtime.rollout import (
     make_batched_step,
     rollout,
 )
+from gym_pybullet_drones_tpu.runtime.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from gym_pybullet_drones_tpu.runtime.profiling import (
+    RealtimeMonitor,
+    measure_throughput,
+    trace,
+)

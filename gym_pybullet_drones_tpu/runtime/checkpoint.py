@@ -1,0 +1,84 @@
+"""Checkpoint / resume for the full actor-learner pytree.
+
+The reference has no env/trainer checkpointing — SB3 persists only the policy
+(learn.py:98, play.py:26) and env state is never serialized (SURVEY §5). Here
+the *entire* run state — env batch, policy params, optimizer state, RNG key,
+update counter — is one pytree (`PPORunnerState` or any other), saved with
+orbax so multi-hour training runs are resumable and bit-reproducible.
+"""
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    _HAS_ORBAX = True
+except Exception:  # pragma: no cover - orbax always baked in this image
+    _HAS_ORBAX = False
+
+from flax import serialization
+
+
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(x.dtype, jax.dtypes.prng_key)
+
+
+def _unkey(tree):
+    """Typed PRNG keys -> raw uint32 key data (serializable)."""
+    return jax.tree.map(lambda x: jax.random.key_data(x) if _is_key(x) else x, tree)
+
+
+def save_checkpoint(path: str, tree: Any, step: int = 0) -> str:
+    """Write `tree` under `path/step_<step>`; returns the checkpoint dir."""
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    ckpt_dir = os.path.join(path, f"step_{step}")
+    tree = jax.tree.map(np.asarray, _unkey(tree))
+    if _HAS_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(ckpt_dir, tree, force=True)
+    else:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        with open(os.path.join(ckpt_dir, "tree.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(tree))
+    return ckpt_dir
+
+
+def restore_checkpoint(path: str, template: Any, step: int = None) -> Any:
+    """Restore into the structure of `template` (shapes/dtypes must match).
+    With `step=None`, picks the highest `step_*` under `path`."""
+    path = os.path.abspath(path)
+    if step is None:
+        steps = [int(d.split("_")[1]) for d in os.listdir(path)
+                 if d.startswith("step_")]
+        if not steps:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+        step = max(steps)
+    ckpt_dir = os.path.join(path, f"step_{step}")
+    flat_template = _unkey(template)
+    if _HAS_ORBAX:
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(ckpt_dir, item=jax.tree.map(np.asarray, flat_template))
+    else:
+        with open(os.path.join(ckpt_dir, "tree.msgpack"), "rb") as f:
+            restored = serialization.from_bytes(flat_template, f.read())
+
+    # Re-materialize on device with the template's dtypes, rewrapping PRNG keys
+    def back(t, r):
+        if _is_key(t):
+            return jax.random.wrap_key_data(jax.numpy.asarray(r))
+        return jax.numpy.asarray(r, dtype=t.dtype if hasattr(t, "dtype") else None)
+
+    # template and flat_template share structure; map over the original to
+    # know which leaves were keys
+    return jax.tree.map(back, template, restored)
+
+
+def latest_step(path: str) -> int:
+    steps = [int(d.split("_")[1]) for d in os.listdir(path)
+             if d.startswith("step_")]
+    return max(steps) if steps else -1

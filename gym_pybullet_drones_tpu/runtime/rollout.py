@@ -56,15 +56,29 @@ def batch_reset(cfg: AviaryConfig, params, num_envs: int) -> AviaryState:
     )
 
 
+def env_health(state: AviaryState) -> jax.Array:
+    """Per-env bool: all kinematic leaves finite (NaN/Inf guard, SURVEY §5 —
+    the reference has no failure detection; a diverged PyBullet sim just
+    poisons the run). Leaves have shape (E, N, d); reduces over all but E."""
+    kin = state.kin
+
+    def finite(x):
+        return jnp.all(jnp.isfinite(x), axis=tuple(range(1, x.ndim)))
+
+    return (finite(kin.pos) & finite(kin.quat) & finite(kin.vel)
+            & finite(kin.ang_v) & finite(kin.rpy_rates))
+
+
 def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
-                      auto_reset: bool = True):
+                      auto_reset: bool = True, reset_on_nan: bool = True):
     """Build `step(state, action) -> (state, StepOutput)` over an env batch.
 
     `state` leaves carry a leading env axis; `action` is (E, N, A). With
     `auto_reset=True`, envs that finish (terminated | truncated) are replaced
     by the initial state and the returned obs is the fresh episode's first
     obs — the VecEnv convention the reference relies on through SB3
-    (learn.py:83-95).
+    (learn.py:83-95). With `reset_on_nan`, a non-finite env is truncated and
+    reset in place of propagating NaNs through the batch.
     """
     single_step = partial(envbase.step, cfg, params, ctrl_params, target_pos)
     vstep = jax.vmap(single_step)
@@ -73,6 +87,10 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
 
     def step(state: AviaryState, action):
         new_state, obs, reward, term, trunc = vstep(state, action)
+        if reset_on_nan:
+            unhealthy = ~env_health(new_state)
+            trunc = trunc | unhealthy
+            reward = jnp.where(unhealthy, jnp.zeros_like(reward), reward)
         if not auto_reset:
             return new_state, StepOutput(obs, reward, term, trunc)
         done = term | trunc

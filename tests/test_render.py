@@ -1,0 +1,87 @@
+"""On-device camera tests: geometry, depth convention, segmentation, RGB obs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.envs.spec import ActionType, ImageType, ObservationType
+from gym_pybullet_drones_tpu.render.camera import (
+    CameraConfig,
+    export_image,
+    render_drone_views,
+)
+
+
+def _level_pose(n=1, z=1.0):
+    pos = np.zeros((n, 3))
+    pos[:, 2] = z
+    quat = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+    return jnp.asarray(pos), jnp.asarray(quat)
+
+
+def test_shapes_and_dtypes():
+    pos, quat = _level_pose(2)
+    rgba, dep, seg = jax.jit(
+        lambda p, q: render_drone_views(p, q, 0.0397))(pos, quat)
+    assert rgba.shape == (2, 48, 64, 4) and rgba.dtype == jnp.uint8
+    assert dep.shape == (2, 48, 64) and dep.dtype == jnp.float32
+    assert seg.shape == (2, 48, 64) and seg.dtype == jnp.int32
+    assert np.all(np.asarray(rgba)[..., 3] == 255)
+
+
+def test_level_view_sees_sky_above_and_ground_below():
+    pos, quat = _level_pose(1, z=0.5)
+    rgba, dep, seg = render_drone_views(pos, quat, 0.0397,
+                                        CameraConfig(with_landmarks=False))
+    seg = np.asarray(seg)[0]
+    # Top rows look over the horizon -> sky (-1); bottom rows -> ground (0)
+    assert np.all(seg[0, :] == -1)
+    assert np.all(seg[-1, :] == 0)
+    dep = np.asarray(dep)[0]
+    assert np.all(dep >= 0) and np.all(dep <= 1)
+    assert dep[0, 0] == 1.0  # sky at far plane
+    # Ground directly below the bottom row is much closer than the horizon
+    assert dep[-1, 32] < dep[24, 32] or seg[24, 32] == -1
+
+
+def test_sees_other_drone_ahead():
+    # Drone 1 hovers 1 m ahead (+x) of drone 0 at the same height
+    pos = jnp.asarray([[0.0, 0.0, 1.0], [1.0, 0.0, 1.0]])
+    quat = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (2, 1))
+    rgba, dep, seg = render_drone_views(pos, quat, 0.0397,
+                                        CameraConfig(with_landmarks=False))
+    seg0 = np.asarray(seg)[0]
+    assert np.any(seg0 == 2)  # drone index 1 -> seg id 2
+    # And never itself
+    assert not np.any(seg0 == 1)
+    # The other drone is roughly centered (camera looks along +x)
+    ys, xs = np.where(seg0 == 2)
+    assert abs(xs.mean() - 32) < 6 and abs(ys.mean() - 24) < 8
+
+
+def test_landmark_ahead_is_visible():
+    pos, quat = _level_pose(1, z=0.3)  # landmark block at [1, 0, .1]
+    rgba, dep, seg = render_drone_views(pos, quat, 0.0397)
+    assert np.any(np.asarray(seg)[0] == 2)  # N=1 -> landmark ids start at 2
+
+
+def test_rgb_observation_pipeline(tmp_path):
+    from gym_pybullet_drones_tpu.compat.gym import HoverAviary
+
+    env = HoverAviary(obs=ObservationType.RGB, act=ActionType.ONE_D_RPM)
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (1, 48, 64, 4) and obs.dtype == np.uint8
+    assert env.observation_space.contains(obs)
+    obs, r, t, tr, _ = env.step(np.zeros((1, 1)))
+    assert obs.dtype == np.uint8
+
+    out = export_image(ImageType.RGB, obs[0], str(tmp_path), 0)
+    assert out.endswith("frame_0.png")
+    rgba, dep, seg = render_drone_views(
+        jnp.asarray([[0.0, 0.0, 1.0]]), jnp.asarray([[0.0, 0.0, 0.0, 1.0]]),
+        0.0397)
+    export_image(ImageType.DEP, np.asarray(dep)[0], str(tmp_path), 1)
+    export_image(ImageType.SEG, np.asarray(seg)[0], str(tmp_path), 2)
+    export_image(ImageType.BW, np.asarray(rgba)[0], str(tmp_path), 3)

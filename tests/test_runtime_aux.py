@@ -1,0 +1,83 @@
+"""Checkpoint/restore, profiling helpers, and NaN health-mask tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.envs import base as envbase
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_HOVER
+from gym_pybullet_drones_tpu.envs.spec import ActionType
+from gym_pybullet_drones_tpu.rl.ppo import PPOConfig, make_ppo_train_step, ppo_init
+from gym_pybullet_drones_tpu.runtime.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from gym_pybullet_drones_tpu.runtime.profiling import RealtimeMonitor, measure_throughput
+from gym_pybullet_drones_tpu.runtime.rollout import batch_reset, env_health, make_batched_step
+
+
+def _cfg():
+    return AviaryConfig(task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+                        pyb_freq=240, ctrl_freq=30, action_buffer_size=2)
+
+
+def test_checkpoint_roundtrip_ppo_runner(tmp_path):
+    env_cfg = _cfg()
+    ppo_cfg = PPOConfig(num_envs=4, n_steps=8, n_epochs=1, minibatch_size=32)
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(3))
+    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux))
+    runner, _ = train(runner)
+
+    save_checkpoint(str(tmp_path), runner, step=1)
+    assert latest_step(str(tmp_path)) == 1
+
+    # Template with same structure, fresh values
+    template, _ = ppo_init(env_cfg, ppo_cfg, jax.random.key(99))
+    restored = restore_checkpoint(str(tmp_path), template)
+    for a, b in zip(jax.tree.leaves(runner), jax.tree.leaves(restored)):
+        if jax.dtypes.issubdtype(a.dtype, jax.dtypes.prng_key):
+            a, b = jax.random.key_data(a), jax.random.key_data(b)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    # Training continues bit-identically from the restored state
+    r1, m1 = train(runner)
+    r2, m2 = train(restored)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_nan_health_mask_resets_poisoned_env():
+    cfg = _cfg()
+    params = envbase.build_params(cfg)
+    cp = envbase.build_ctrl_params(cfg)
+    tp = envbase.hover_target_pos(cfg, params)
+    step = jax.jit(make_batched_step(cfg, params, cp, tp, auto_reset=True,
+                                     reset_on_nan=True))
+    state = batch_reset(cfg, params, 3)
+    # Poison env 1 with NaN position
+    bad_pos = state.kin.pos.at[1].set(jnp.nan)
+    state = state.replace(kin=state.kin.replace(pos=bad_pos))
+    assert list(np.asarray(env_health(state))) == [True, False, True]
+    new_state, out = step(state, jnp.zeros((3, 1, 1)))
+    # The poisoned env was truncated and auto-reset to a finite state
+    assert bool(out.truncated[1])
+    assert np.all(np.isfinite(np.asarray(new_state.kin.pos)))
+    assert np.all(np.isfinite(np.asarray(out.obs)))
+
+
+def test_measure_throughput_and_monitor():
+    cfg = _cfg()
+    params = envbase.build_params(cfg)
+    cp = envbase.build_ctrl_params(cfg)
+    tp = envbase.hover_target_pos(cfg, params)
+    step = jax.jit(make_batched_step(cfg, params, cp, tp))
+    state = batch_reset(cfg, params, 8)
+    action = jnp.zeros((8, 1, 1))
+    rate, state = measure_throughput(step, state, action, iters=5,
+                                     items_per_call=8)
+    assert rate > 0
+    mon = RealtimeMonitor(240)
+    mon.add_steps(240)
+    assert mon.sim_time == 1.0
+    assert "simulation time 1.0s@240Hz" in mon.report()

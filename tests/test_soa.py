@@ -1,0 +1,114 @@
+"""SoA fused velocity-step parity vs the general envs/base step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.envs import base as envbase
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_VELOCITY
+from gym_pybullet_drones_tpu.ops.velocity_soa import (
+    soa_consts,
+    soa_from_state,
+    soa_to_state,
+    velocity_step_soa,
+)
+from gym_pybullet_drones_tpu.runtime.rollout import batch_reset, make_batched_step
+
+
+def test_soa_matches_reference_step():
+    cfg = AviaryConfig(task=TASK_VELOCITY, pyb_freq=240, ctrl_freq=48,
+                       dtype="float32")
+    params = envbase.build_params(cfg)
+    cp = envbase.build_ctrl_params(cfg)
+    tp = jnp.zeros((1, 3), dtype=jnp.float32)
+    E = 64
+    step = jax.jit(make_batched_step(cfg, params, cp, tp, auto_reset=False))
+
+    rng = np.random.RandomState(0)
+    action = np.zeros((E, 1, 4), dtype=np.float32)
+    action[:, 0, 0:3] = rng.uniform(-1, 1, (E, 3))
+    action[:, 0, 3] = rng.uniform(0, 1, E)
+    action = jnp.asarray(action)
+
+    speed_limit = 0.03 * float(params.max_speed_kmh) * (1000.0 / 3600.0)
+    consts = soa_consts(cp, params)
+    soa_step = jax.jit(lambda s, a: velocity_step_soa(
+        consts, cfg.ctrl_timestep, cfg.pyb_timestep, cfg.steps_per_ctrl,
+        speed_limit, s, a[:, 0, 0], a[:, 0, 1], a[:, 0, 2], a[:, 0, 3]))
+
+    # Per-step deviation is float32 noise (~1e-8 on quat, ~0.01 RPM, from
+    # skipping the reference's matrix->euler->matrix float no-op); a 20-step
+    # closed loop keeps the accumulated gap well inside mm scale.
+    state = batch_reset(cfg, params, E)
+    soa = soa_from_state(state)
+    for t in range(20):
+        state, out = step(state, action)
+        soa = soa_step(soa, action)
+
+    ref = state
+    got = soa_to_state(soa, ref)
+    np.testing.assert_allclose(np.asarray(got.kin.pos), np.asarray(ref.kin.pos),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.kin.vel), np.asarray(ref.kin.vel),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got.kin.quat), np.asarray(ref.kin.quat),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.last_rpm), np.asarray(ref.last_rpm),
+                               atol=20.0)  # RPM scale ~15000
+
+
+def test_pallas_rollout_matches_soa_interpret():
+    from gym_pybullet_drones_tpu.ops.velocity_pallas import (
+        make_velocity_rollout_pallas,
+    )
+
+    cfg = AviaryConfig(task=TASK_VELOCITY, pyb_freq=240, ctrl_freq=48)
+    params = envbase.build_params(cfg)
+    cp = envbase.build_ctrl_params(cfg)
+    speed_limit = 0.03 * float(params.max_speed_kmh) * (1000.0 / 3600.0)
+    consts = soa_consts(cp, params)
+    E, T = 1024, 8
+    soa0 = soa_from_state(batch_reset(cfg, params, E))
+    rng = np.random.RandomState(1)
+    action = dict(
+        ax=jnp.asarray(rng.uniform(-1, 1, E), jnp.float32),
+        ay=jnp.asarray(rng.uniform(-1, 1, E), jnp.float32),
+        az=jnp.asarray(rng.uniform(-1, 1, E), jnp.float32),
+        amag=jnp.asarray(rng.uniform(0, 1, E), jnp.float32),
+    )
+    s = dict(soa0)
+    for _ in range(T):
+        s = velocity_step_soa(consts, cfg.ctrl_timestep, cfg.pyb_timestep,
+                              cfg.steps_per_ctrl, speed_limit, s,
+                              action["ax"], action["ay"], action["az"],
+                              action["amag"])
+    ro = make_velocity_rollout_pallas(consts, cfg.ctrl_timestep,
+                                      cfg.pyb_timestep, cfg.steps_per_ctrl,
+                                      speed_limit, T, interpret=True)
+    got = ro(soa0, action)
+    for k in ("px", "py", "pz", "qw", "vx", "vz"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(s[k]),
+                                   atol=1e-5)
+
+
+def test_tpu_math_matches_numpy():
+    from gym_pybullet_drones_tpu.ops.tpu_math import asin, atan2
+
+    rng = np.random.RandomState(2)
+    y = jnp.asarray(rng.uniform(-5, 5, 4096), jnp.float32)
+    x = jnp.asarray(rng.uniform(-5, 5, 4096), jnp.float32)
+    np.testing.assert_allclose(np.asarray(atan2(y, x)),
+                               np.arctan2(np.asarray(y), np.asarray(x)),
+                               atol=3e-7)
+    v = jnp.asarray(rng.uniform(-1, 1, 4096), jnp.float32)
+    np.testing.assert_allclose(np.asarray(asin(v)), np.arcsin(np.asarray(v)),
+                               atol=6e-7)
+    # Quadrant edges
+    np.testing.assert_allclose(float(atan2(jnp.float32(1.0), jnp.float32(0.0))),
+                               np.pi / 2)
+    np.testing.assert_allclose(float(atan2(jnp.float32(-1.0), jnp.float32(0.0))),
+                               -np.pi / 2)
+    np.testing.assert_allclose(float(atan2(jnp.float32(0.0), jnp.float32(-2.0))),
+                               np.pi, rtol=1e-6)

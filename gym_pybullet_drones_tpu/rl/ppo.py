@@ -38,7 +38,9 @@ from gym_pybullet_drones_tpu.runtime.rollout import (
 
 
 class ActorCritic(nn.Module):
-    """SB3-MlpPolicy-equivalent actor-critic (separate towers, tanh, 64-64)."""
+    """SB3-MlpPolicy-equivalent actor-critic (separate towers, tanh, 64-64).
+
+    Accepts obs of shape (E, ...) and flattens per environment."""
 
     action_dim: int
     hidden: Sequence[int] = (64, 64)
@@ -46,6 +48,7 @@ class ActorCritic(nn.Module):
 
     @nn.compact
     def __call__(self, obs):
+        obs = obs.reshape(obs.shape[0], -1)
         x = obs
         for h in self.hidden:
             x = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
@@ -56,6 +59,46 @@ class ActorCritic(nn.Module):
             "log_std", nn.initializers.constant(self.log_std_init), (self.action_dim,)
         )
         v = obs
+        for h in self.hidden:
+            v = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
+                                 bias_init=nn.initializers.zeros)(v))
+        value = nn.Dense(1, kernel_init=nn.initializers.orthogonal(1.0),
+                         bias_init=nn.initializers.zeros)(v)
+        return mean, log_std, jnp.squeeze(value, -1)
+
+
+class CnnActorCritic(nn.Module):
+    """SB3-CnnPolicy-equivalent actor-critic for RGB observations.
+
+    Input (E, N, H, W, 4) uint8 drone-POV frames; each drone's frame passes
+    through a NatureCNN feature extractor (32x8s4 / 64x4s2 / 64x3s1 -> 512,
+    the SB3 CnnPolicy default), features concatenate across drones, then the
+    usual separate pi/vf MLP heads."""
+
+    action_dim: int
+    hidden: Sequence[int] = (64, 64)
+    log_std_init: float = 0.0
+
+    @nn.compact
+    def __call__(self, obs):
+        E, N = obs.shape[0], obs.shape[1]
+        x = obs.astype(jnp.float32).reshape((E * N,) + obs.shape[2:]) / 255.0
+        x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID")(x))
+        x = x.reshape(E * N, -1)
+        x = nn.relu(nn.Dense(512)(x))
+        feat = x.reshape(E, -1)
+        pi = feat
+        for h in self.hidden:
+            pi = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
+                                  bias_init=nn.initializers.zeros)(pi))
+        mean = nn.Dense(self.action_dim, kernel_init=nn.initializers.orthogonal(0.01),
+                        bias_init=nn.initializers.zeros)(pi)
+        log_std = self.param(
+            "log_std", nn.initializers.constant(self.log_std_init), (self.action_dim,)
+        )
+        v = feat
         for h in self.hidden:
             v = nn.tanh(nn.Dense(h, kernel_init=nn.initializers.orthogonal(np.sqrt(2)),
                                  bias_init=nn.initializers.zeros)(v))
@@ -117,12 +160,6 @@ def _gaussian_log_prob(mean, log_std, action):
     )
 
 
-def _flat_obs(obs):
-    """(E, N, D) per-drone obs -> (E, N*D) network input (single policy over
-    the whole aviary, the shape SB3 sees through the reference's Box spaces)."""
-    return obs.reshape(obs.shape[0], -1)
-
-
 def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
              params_env=None, ctrl_params=None, target_pos=None):
     """Initial `PPORunnerState` plus the (network, optimizer) pair."""
@@ -130,11 +167,18 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
     ctrl_params = envbase.build_ctrl_params(env_cfg) if ctrl_params is None else ctrl_params
     if target_pos is None:
         target_pos = envbase.hover_target_pos(env_cfg, params_env)
-    obs_dim = env_cfg.num_drones * env_cfg.obs_dim
+    from gym_pybullet_drones_tpu.envs.spec import ObservationType
+
     act_dim = env_cfg.num_drones * env_cfg.action_dim
-    network = ActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden)
     rng, init_key = jax.random.split(rng)
-    params = network.init(init_key, jnp.zeros((1, obs_dim)))
+    if env_cfg.obs_type == ObservationType.RGB:
+        network = CnnActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden)
+        params = network.init(
+            init_key, jnp.zeros((1, env_cfg.num_drones, 48, 64, 4), jnp.uint8))
+    else:
+        network = ActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden)
+        params = network.init(
+            init_key, jnp.zeros((1, env_cfg.num_drones * env_cfg.obs_dim)))
     tx = optax.chain(
         optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
         optax.adam(ppo_cfg.learning_rate, eps=1e-5),
@@ -162,7 +206,7 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
     n_drones, act_per = env_cfg.num_drones, env_cfg.action_dim
 
     def policy_sample(params, obs, key):
-        mean, log_std, value = network.apply(params, _flat_obs(obs))
+        mean, log_std, value = network.apply(params, obs)
         noise = jax.random.normal(key, mean.shape)
         action = mean + jnp.exp(log_std) * noise
         logp = _gaussian_log_prob(mean, log_std, action)
@@ -185,7 +229,7 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         return advantages, advantages + traj.value
 
     def loss_fn(params, batch, advantages, returns):
-        mean, log_std, value = network.apply(params, _flat_obs_batch(batch.obs))
+        mean, log_std, value = network.apply(params, batch.obs)
         logp = _gaussian_log_prob(mean, log_std, batch.action)
         ratio = jnp.exp(logp - batch.log_prob)
         norm_adv = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
@@ -196,9 +240,6 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         entropy = jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e))
         total = pg_loss + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * entropy
         return total, (pg_loss, v_loss, entropy)
-
-    def _flat_obs_batch(obs):
-        return obs.reshape(obs.shape[0], -1)
 
     def train_step(runner: PPORunnerState):
         rng, roll_rng, perm_rng = jax.random.split(runner.rng, 3)
@@ -288,7 +329,7 @@ def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
 
     def body(carry, key):
         env_state, obs = carry
-        mean, log_std, _ = network.apply(params, obs.reshape(obs.shape[0], -1))
+        mean, log_std, _ = network.apply(params, obs)
         action = mean if deterministic else mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
         env_action = jnp.clip(action, -1.0, 1.0).reshape(
             obs.shape[0], env_cfg.num_drones, env_cfg.action_dim

@@ -153,3 +153,19 @@ def test_graft_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     m.dryrun_multichip(8)
+
+
+def test_rgb_cnn_ppo_train_step():
+    from gym_pybullet_drones_tpu.envs.spec import ObservationType
+    from gym_pybullet_drones_tpu.rl.ppo import (
+        PPOConfig, make_ppo_train_step, ppo_init,
+    )
+
+    env_cfg = _hover_cfg(obs_type=ObservationType.RGB, action_buffer_size=0,
+                         action_type=ActionType.ONE_D_RPM)
+    ppo_cfg = PPOConfig(num_envs=2, n_steps=4, n_epochs=1, minibatch_size=8)
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(0))
+    assert runner.obs.shape == (2, 1, 48, 64, 4) and runner.obs.dtype == jnp.uint8
+    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux))
+    runner, metrics = train(runner)
+    assert np.isfinite(float(metrics["loss"]))

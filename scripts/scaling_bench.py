@@ -1,0 +1,91 @@
+"""Weak-scaling harness: sharded env batches over an N-device mesh.
+
+Measures aggregate env-steps/s of the VelocityAviary swarm with the env axis
+sharded over 1, 2, 4, ... devices (drones per device held constant — weak
+scaling). On a multi-chip TPU slice this exercises ICI-sharded execution; on
+a dev box run it against a virtual CPU mesh:
+
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python scripts/scaling_bench.py
+
+The env axis is embarrassingly parallel (XLA inserts no collectives), so
+ideal weak scaling is flat time / linear throughput; deviations expose
+runtime dispatch overheads. Cross-shard physics (downwash all_gather) is
+exercised separately by `runtime/mesh.make_swarm_downwash_fn`.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.envs.base import (
+    AviaryConfig,
+    TASK_VELOCITY,
+    build_ctrl_params,
+    build_params,
+)
+from gym_pybullet_drones_tpu.runtime.mesh import (
+    env_sharding,
+    make_mesh,
+    make_sharded_batched_step,
+    shard_env_batch,
+)
+from gym_pybullet_drones_tpu.runtime.rollout import batch_reset
+
+PER_DEVICE = 1024
+CHUNK = 50
+REPEATS = 3
+
+
+def run_at(n_devices: int):
+    mesh = make_mesh(("env",), devices=jax.devices()[:n_devices])
+    cfg = AviaryConfig(task=TASK_VELOCITY, pyb_freq=240, ctrl_freq=48)
+    params = build_params(cfg)
+    ctrl_params = build_ctrl_params(cfg)
+    tp = jnp.zeros((cfg.num_drones, 3), dtype=cfg.jnp_dtype)
+    E = PER_DEVICE * n_devices
+    step = make_sharded_batched_step(cfg, params, ctrl_params, tp, mesh,
+                                     auto_reset=False, donate=False)
+    state = shard_env_batch(mesh, batch_reset(cfg, params, E))
+    angles = jnp.linspace(0.0, 2 * jnp.pi, E, endpoint=False)
+    action = jax.device_put(
+        jnp.stack([jnp.cos(angles), jnp.sin(angles), jnp.zeros_like(angles),
+                   jnp.full_like(angles, 0.25)], -1)[:, None, :],
+        env_sharding(mesh))
+
+    def chunk(state):
+        for _ in range(CHUNK):
+            state, _ = step(state, action)
+        return state
+
+    state = chunk(state)
+    jax.block_until_ready(state)
+    best = 0.0
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        state = chunk(state)
+        jax.block_until_ready(state)
+        best = max(best, E * CHUNK / (time.perf_counter() - t0))
+    return best
+
+
+def main():
+    n_avail = len(jax.devices())
+    results = []
+    n = 1
+    while n <= n_avail:
+        rate = run_at(n)
+        results.append({"devices": n, "envs": PER_DEVICE * n,
+                        "steps_per_s": round(rate, 1),
+                        "per_device": round(rate / n, 1)})
+        print(json.dumps(results[-1]))
+        n *= 2
+    if len(results) > 1:
+        eff = results[-1]["per_device"] / results[0]["per_device"]
+        print(json.dumps({"weak_scaling_efficiency": round(eff, 3)}))
+
+
+if __name__ == "__main__":
+    main()

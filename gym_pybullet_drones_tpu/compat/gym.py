@@ -133,8 +133,8 @@ class BaseAviaryEnv(gym.Env):
         self.PYB_STEPS_PER_CTRL = pyb_freq // ctrl_freq
         self.NEIGHBOURHOOD_RADIUS = neighbourhood_radius
         p = self.params
-        self.G = float(p.gravity)  # reference names m*g "G" internally? no: GRAVITY
-        self.GRAVITY = float(p.gravity)
+        self.G = float(p.g)  # gravitational acceleration (BaseAviary.py:74)
+        self.GRAVITY = float(p.gravity)  # m * g
         self.M = float(p.m)
         self.L = float(p.arm)
         self.KF = float(p.kf)

@@ -149,13 +149,10 @@ def build_params(cfg: AviaryConfig) -> DroneParams:
 
 
 def build_ctrl_params(cfg: AviaryConfig) -> DSLPIDParams:
-    # Reference quirk: RL aviaries always instantiate the controller with the
-    # CF2X mixer regardless of the actual model (BaseRLAviary.py:76); the
-    # VelocityAviary uses the true model (VelocityAviary.py:59-62).
-    model = cfg.drone_model if cfg.task == TASK_VELOCITY else DroneModel.CF2X
-    if cfg.drone_model not in (DroneModel.CF2X, DroneModel.CF2P):
-        model = DroneModel.CF2X
-    return dsl_pid_params(model, dtype=cfg.jnp_dtype)
+    # Reference quirk: BOTH the RL aviaries (BaseRLAviary.py:76) and
+    # VelocityAviary (VelocityAviary.py:61-62) always instantiate the embedded
+    # controller with the CF2X mixer, regardless of the actual drone model.
+    return dsl_pid_params(DroneModel.CF2X, dtype=cfg.jnp_dtype)
 
 
 def _initial_pose(cfg: AviaryConfig, params: DroneParams):
@@ -276,7 +273,7 @@ def drone_state_vector(cfg: AviaryConfig, state: AviaryState):
     )
 
 
-def compute_obs(cfg: AviaryConfig, state: AviaryState):
+def compute_obs(cfg: AviaryConfig, state: AviaryState, params: DroneParams = None):
     if cfg.task in (TASK_CTRL, TASK_VELOCITY):
         return drone_state_vector(cfg, state)  # (N, 20)
     if cfg.obs_type == ObservationType.RGB:
@@ -284,7 +281,8 @@ def compute_obs(cfg: AviaryConfig, state: AviaryState):
         # rendered by the on-device ray-caster instead of PyBullet's camera.
         from gym_pybullet_drones_tpu.render.camera import CameraConfig, render_drone_views
 
-        params = build_params(cfg)
+        if params is None:  # fallback for callers without the built pytree
+            params = build_params(cfg)
         rgba, _, _ = render_drone_views(
             state.kin.pos, state.kin.quat, params.arm, CameraConfig())
         return rgba  # (N, 48, 64, 4) uint8
@@ -385,7 +383,7 @@ def step(
         ctrl=new_ctrl,
         step_count=state.step_count + cfg.steps_per_ctrl,
     )
-    obs = compute_obs(cfg, state)
+    obs = compute_obs(cfg, state, params)
     reward = compute_reward(cfg, state, target_pos)
     terminated = compute_terminated(cfg, state, target_pos)
     truncated = compute_truncated(cfg, state)

@@ -213,16 +213,20 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         return action, logp, value
 
     def compute_gae(traj: Transition, last_value):
+        # Standard GAE recursion: transition t bootstraps from V(s_{t+1})
+        # masked by ITS OWN done_t (after a done, s_{t+1} is the auto-reset
+        # obs of a new episode and must not leak value across the boundary).
         def body(carry, inp):
-            gae, next_value, next_nonterminal = carry
+            gae, next_value = carry
             value, reward, done = inp
-            delta = reward + ppo_cfg.gamma * next_value * next_nonterminal - value
-            gae = delta + ppo_cfg.gamma * ppo_cfg.gae_lambda * next_nonterminal * gae
-            return (gae, value, 1.0 - done.astype(value.dtype)), gae
+            nonterminal = 1.0 - done.astype(value.dtype)
+            delta = reward + ppo_cfg.gamma * next_value * nonterminal - value
+            gae = delta + ppo_cfg.gamma * ppo_cfg.gae_lambda * nonterminal * gae
+            return (gae, value), gae
 
-        (_, _, _), advantages = jax.lax.scan(
+        (_, _), advantages = jax.lax.scan(
             body,
-            (jnp.zeros_like(last_value), last_value, jnp.ones_like(last_value)),
+            (jnp.zeros_like(last_value), last_value),
             (traj.value, traj.reward, traj.done),
             reverse=True,
         )
@@ -253,11 +257,18 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
             )
             env_state, out = step_env(env_state, env_action)
             done = out.terminated | out.truncated
+            # SB3 TimeLimit semantics: on truncation (not termination),
+            # bootstrap the cut-off return with V of the TRUE next obs
+            # (out.final_obs — the pre-auto-reset observation).
+            _, _, final_value = network.apply(runner.params, out.final_obs)
+            trunc_only = out.truncated & ~out.terminated
+            reward = out.reward + ppo_cfg.gamma * final_value * trunc_only.astype(
+                final_value.dtype)
             tr = Transition(obs=obs, action=action, log_prob=logp, value=value,
-                            reward=out.reward, done=done)
-            return (env_state, out.obs), tr
+                            reward=reward, done=done)
+            return (env_state, out.obs), (tr, out.reward)
 
-        (env_state, obs), traj = jax.lax.scan(
+        (env_state, obs), (traj, raw_rewards) = jax.lax.scan(
             rollout_body, (runner.env_state, runner.obs), keys
         )
         _, _, last_value = policy_sample(runner.params, obs, rng)
@@ -299,7 +310,7 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         )
         metrics = dict(
             loss=losses.mean(),
-            mean_reward=traj.reward.mean(),
+            mean_reward=raw_rewards.mean(),  # env reward, without bootstrap
             mean_value=traj.value.mean(),
             episodes_done=traj.done.sum(),
         )

@@ -132,14 +132,32 @@ def make_swarm_adjacency_fn(mesh: Mesh, neighbourhood_radius, axis: str = "env")
 
 
 def shard_swarm_state(mesh: Mesh, state, axis: str = "env"):
-    """Place a single-aviary state (leading drone axis on kin leaves) onto the
-    mesh with the drone axis sharded. `step_count` (scalar) is replicated."""
+    """Place a single-aviary state onto the mesh with the DRONE axis sharded.
+
+    Most leaves (kin components, last_rpm, controller memory) carry the drone
+    axis first; `action_buffer` is (B, N, A) with the buffer-slot axis
+    leading (envs/base.py AviaryState), so its *second* axis is sharded;
+    scalars (`step_count`) are replicated.
+    """
     sh = NamedSharding(mesh, P(axis))
+    sh_second = NamedSharding(mesh, P(None, axis))
     rep = NamedSharding(mesh, P())
+
+    buf = state.action_buffer
+    if buf.ndim >= 2 and buf.shape[0] > 0:
+        buf = jax.device_put(buf, sh_second)
+    else:
+        buf = jax.device_put(buf, rep)
 
     def place(x):
         if x.ndim == 0:
             return jax.device_put(x, rep)
         return jax.device_put(x, sh)
 
-    return jax.tree.map(place, state)
+    return state.replace(
+        kin=jax.tree.map(place, state.kin),
+        last_rpm=place(state.last_rpm),
+        ctrl=jax.tree.map(place, state.ctrl),
+        action_buffer=buf,
+        step_count=jax.device_put(state.step_count, rep),
+    )

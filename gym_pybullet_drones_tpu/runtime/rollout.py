@@ -24,12 +24,18 @@ from gym_pybullet_drones_tpu.envs.base import AviaryConfig, AviaryState
 
 
 class StepOutput(NamedTuple):
-    """Per-step signals; leaves gain a leading time axis after a rollout scan."""
+    """Per-step signals; leaves gain a leading time axis after a rollout scan.
+
+    `final_obs` is the TRUE post-step observation even on auto-reset steps
+    (where `obs` is already the fresh episode's first obs) — the analogue of
+    Gymnasium's `final_observation` info, needed for correct time-limit value
+    bootstrapping."""
 
     obs: jax.Array
     reward: jax.Array
     terminated: jax.Array
     truncated: jax.Array
+    final_obs: jax.Array = None
 
 
 def tree_where(mask, a, b):
@@ -92,14 +98,15 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
             trunc = trunc | unhealthy
             reward = jnp.where(unhealthy, jnp.zeros_like(reward), reward)
         if not auto_reset:
-            return new_state, StepOutput(obs, reward, term, trunc)
+            return new_state, StepOutput(obs, reward, term, trunc, obs)
         done = term | trunc
         fresh = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (obs.shape[0],) + x.shape), init_state
         )
         new_state = tree_where(done, fresh, new_state)
+        final_obs = obs
         obs = tree_where(done, jnp.broadcast_to(init_obs, obs.shape), obs)
-        return new_state, StepOutput(obs, reward, term, trunc)
+        return new_state, StepOutput(obs, reward, term, trunc, final_obs)
 
     return step
 

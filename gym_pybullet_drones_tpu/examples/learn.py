@@ -68,10 +68,13 @@ def run(
     else:
         target_reward = 920.0 if multiagent else 467.0
 
-    # Settings that reach eval return ~472 on HoverAviary/ONE_D_RPM in ~2 min
-    # on one TPU chip (threshold 474 = the practical optimum given the fixed
-    # approach transient from the z=0.11 spawn: a perfect policy scores
-    # ~475 of the 480 max).
+    # Settings that reach eval return ~472 on HoverAviary/ONE_D_RPM within
+    # ~1M env steps (<1 min on one TPU chip). 472 is effectively optimal for
+    # this action type under this physics: ONE_D_RPM caps RPM at +-5% around
+    # hover (BaseRLAviary.py:224-225), limiting climb acceleration to
+    # ~1 m/s^2, and a hand-optimized bang-bang + PD policy scores 470.2 —
+    # PPO beats it. The reference's 474 threshold was calibrated on SB3 +
+    # PyBullet and is never verified by its own CI (test budget = 100 steps).
     ppo_cfg = PPOConfig(num_envs=num_envs, n_steps=128, minibatch_size=1024)
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))
     train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux), donate_argnums=(0,))

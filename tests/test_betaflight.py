@@ -86,3 +86,34 @@ def test_beta_aviary_closed_loop():
         env.close()
         sitl.stop()
     assert np.linalg.norm(obs[0][:3] - target) < 0.05
+
+
+def test_beta_aviary_two_drones():
+    """Multi-drone SITL channels: each drone pairs with its own port triple."""
+    import jax  # noqa: F401
+    from gym_pybullet_drones_tpu.control.compat import CTBRControl
+    from gym_pybullet_drones_tpu.envs.beta import BetaAviary
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+
+    sitls = [MockSITL(i).start() for i in range(2)]
+    env = BetaAviary(drone_model=DroneModel.RACE, num_drones=2,
+                     pyb_freq=500, ctrl_freq=500,
+                     initial_xyzs=[[0, 0, 0.1], [1.0, 0, 0.1]])
+    ctrl = [CTBRControl(DroneModel.RACE) for _ in range(2)]
+    targets = np.array([[0.0, 0.0, 0.7], [1.0, 0.3, 0.9]])
+    obs, info = env.reset(seed=0)
+    action = np.zeros((2, 4))
+    try:
+        for i in range(500 * 6):
+            obs, *_ = env.step(action, i)
+            t = i / 500
+            if t > env.TRAJ_TIME:
+                for j in range(2):
+                    action[j] = ctrl[j].computeControlFromState(
+                        1 / 500, obs[j], target_pos=targets[j])
+    finally:
+        env.close()
+        for s in sitls:
+            s.stop()
+    for j in range(2):
+        assert np.linalg.norm(obs[j][:3] - targets[j]) < 0.1, (j, obs[j][:3])

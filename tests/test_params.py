@@ -46,3 +46,22 @@ def test_urdf_loader_matches_builtin():
     for name in ("m", "arm", "kf", "km", "hover_rpm", "max_rpm", "gnd_eff_h_clip"):
         np.testing.assert_allclose(float(getattr(a, name)), float(getattr(b, name)))
     np.testing.assert_allclose(np.asarray(a.prop_offsets), np.asarray(b.prop_offsets))
+
+
+def test_from_urdf_roundtrips_builtin_tables():
+    """The generated URDF assets parse back to the built-in parameter pytrees
+    (reference-format <properties> compatibility, BaseAviary.py:985-1017)."""
+    import os
+    import jax
+    import numpy as np
+    from gym_pybullet_drones_tpu.core.params import drone_params, from_urdf
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+
+    assets = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "gym_pybullet_drones_tpu", "assets")
+    for model in DroneModel:
+        path = os.path.join(assets, f"{model.value}.urdf")
+        a = from_urdf(path, model)
+        b = drone_params(model)
+        for la, lb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=1e-12)

@@ -10,7 +10,6 @@ same wire protocol.
 
 import ctypes
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -20,16 +19,9 @@ _SRC = os.path.join(_HERE, "src", "betabridge.cpp")
 _LIB = os.path.join(_HERE, "src", "libbetabridge.so")
 
 
-def _build():
-    if (os.path.exists(_LIB)
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
-        return
-    subprocess.run(["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-                    "-o", _LIB], check=True, capture_output=True)
+from gym_pybullet_drones_tpu.bridges._native import load_native
 
-
-_build()
-_lib = ctypes.CDLL(_LIB)
+_lib = load_native(_SRC, _LIB)
 _lib.bb_create.restype = ctypes.c_void_p
 _lib.bb_create.argtypes = [ctypes.c_char_p, ctypes.c_int]
 _lib.bb_destroy.argtypes = [ctypes.c_void_p]

@@ -10,23 +10,15 @@ from src/cffirm.cpp with g++ on first import and cached next to the source.
 
 import ctypes
 import os
-import subprocess
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "src", "cffirm.cpp")
 _LIB = os.path.join(_HERE, "src", "libcffirm.so")
 
 
-def _build():
-    if (os.path.exists(_LIB)
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
-        return
-    cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _LIB]
-    subprocess.run(cmd, check=True, capture_output=True)
+from gym_pybullet_drones_tpu.bridges._native import load_native
 
-
-_build()
-_lib = ctypes.CDLL(_LIB)
+_lib = load_native(_SRC, _LIB)
 
 # -- mode constants (enum stab_mode_t) ----------------------------------------
 modeDisable = 0

@@ -24,10 +24,8 @@ from gym_pybullet_drones_tpu.core.rotations import (
     euler_intrinsic_xyz_to_matrix,
     quat_to_euler_xyz,
 )
+from gym_pybullet_drones_tpu.control.dsl_pid import _MIXER_CF2P, _MIXER_CF2X
 from gym_pybullet_drones_tpu.envs.spec import DroneModel
-
-_MIXER_X = [[-0.5, -0.5, -1.0], [-0.5, 0.5, 1.0], [0.5, 0.5, -1.0], [0.5, -0.5, 1.0]]
-_MIXER_P = [[0.0, -1.0, -1.0], [1.0, 0.0, 1.0], [0.0, 1.0, -1.0], [-1.0, 0.0, 1.0]]
 
 
 @struct.dataclass
@@ -73,7 +71,7 @@ def mrac_params(model: DroneModel = DroneModel.CF2X, g: float = G, psi: float = 
     Q = np.eye(12) * 600.0
     P = scipy.linalg.solve_lyapunov(Am.T, -Q)
     Kr_ref_gain = np.linalg.pinv(B) @ Am
-    mixer = _MIXER_P if model == DroneModel.CF2P else _MIXER_X
+    mixer = _MIXER_CF2P if model == DroneModel.CF2P else _MIXER_CF2X
     arr = lambda v: jnp.asarray(v, dtype=dtype)
     return MRACParams(
         Am=arr(Am), Bm=arr(B), P=arr(P), Kr_ref_gain=arr(Kr_ref_gain),

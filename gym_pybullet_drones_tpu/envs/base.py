@@ -189,6 +189,11 @@ def reset(cfg: AviaryConfig, params: DroneParams) -> AviaryState:
 ################################################################################
 
 
+def speed_limit(params: DroneParams):
+    """0.03 * MAX_SPEED_KMH in m/s (VelocityAviary.py:78, BaseRLAviary.py:96)."""
+    return 0.03 * params.max_speed_kmh * (1000.0 / 3600.0)
+
+
 def _calculate_next_step(current_position, destination, step_size=1.0):
     """Waypoint capping for ActionType.PID (BaseAviary._calculateNextStep, :1108-1150)."""
     direction = destination - current_position
@@ -228,8 +233,8 @@ def preprocess_action(
         # Raw RPM clip (CtrlAviary.py:121-140)
         return jnp.clip(action, 0.0, params.max_rpm), state.ctrl
     if cfg.task == TASK_VELOCITY:
-        speed_limit = 0.03 * params.max_speed_kmh * (1000.0 / 3600.0)  # VelocityAviary.py:78
-        return _vel_pipeline(cfg, params, ctrl_params, state, action, speed_limit)
+        return _vel_pipeline(cfg, params, ctrl_params, state, action,
+                             speed_limit(params))
 
     # RL pipelines (BaseRLAviary.py:160-239)
     at = cfg.action_type
@@ -245,8 +250,8 @@ def preprocess_action(
         )
         return rpm, new_ctrl
     if at == ActionType.VEL:
-        speed_limit = 0.03 * params.max_speed_kmh * (1000.0 / 3600.0)  # BaseRLAviary.py:96
-        return _vel_pipeline(cfg, params, ctrl_params, state, action, speed_limit)
+        return _vel_pipeline(cfg, params, ctrl_params, state, action,
+                             speed_limit(params))
     if at == ActionType.ONE_D_PID:
         target = state.kin.pos + 0.1 * jnp.concatenate(
             [jnp.zeros_like(action), jnp.zeros_like(action), action], -1

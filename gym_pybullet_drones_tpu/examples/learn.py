@@ -113,26 +113,10 @@ def run(
     print(f"[INFO] final evaluation: mean return {mean_ret:.2f} over {n_eps} episodes")
 
     # Logged deterministic rollout (learn.py:155-192)
-    network = aux["network"]
-    params_env, ctrl_params, target_pos = aux["params_env"], aux["ctrl_params"], aux["target_pos"]
+    from gym_pybullet_drones_tpu.rl.ppo import deterministic_rollout
 
-    @jax.jit
-    def rollout(state):
-        def body(carry, _):
-            s, o = carry
-            mean, _, _ = network.apply(best_params, o.reshape(1, -1))
-            a = jnp.clip(mean, -1.0, 1.0).reshape(num_drones, env_cfg.action_dim)
-            s, o2, r, t, tr = envbase.step(env_cfg, params_env, ctrl_params,
-                                           target_pos, s, a)
-            full = envbase.drone_state_vector(env_cfg, s)
-            return (s, o2), (full, r)
-        s0 = state
-        o0 = envbase.compute_obs(env_cfg, s0)
-        (_, _), (states, rewards) = jax.lax.scan(body, (s0, o0), None,
-                                                 length=int(8 * env_cfg.ctrl_freq))
-        return states, rewards
-
-    states, rewards = rollout(envbase.reset(env_cfg, params_env))
+    states, rewards = deterministic_rollout(env_cfg, aux, best_params,
+                                            int(8 * env_cfg.ctrl_freq))
     logger = Logger(logging_freq_hz=env_cfg.ctrl_freq, num_drones=num_drones,
                     output_folder=output_folder, colab=colab)
     logger.log_trajectory(np.asarray(states))

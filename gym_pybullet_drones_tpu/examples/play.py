@@ -42,24 +42,10 @@ def play(
     runner, aux = ppo_init(env_cfg, PPOConfig(num_envs=1), jax.random.key(0))
     with open(model_path, "rb") as f:
         params = serialization.from_bytes(runner.params, f.read())
-    network = aux["network"]
-    params_env, ctrl_params, target_pos = aux["params_env"], aux["ctrl_params"], aux["target_pos"]
+    from gym_pybullet_drones_tpu.rl.ppo import deterministic_rollout
 
-    @jax.jit
-    def rollout(state):
-        def body(carry, _):
-            s, o = carry
-            mean, _, _ = network.apply(params, o.reshape(1, -1))
-            a = jnp.clip(mean, -1.0, 1.0).reshape(num_drones, env_cfg.action_dim)
-            s, o2, r, t, tr = envbase.step(env_cfg, params_env, ctrl_params,
-                                           target_pos, s, a)
-            return (s, o2), (envbase.drone_state_vector(env_cfg, s), r)
-        s0 = state
-        o0 = envbase.compute_obs(env_cfg, s0)
-        return jax.lax.scan(body, (s0, o0), None,
-                            length=int(duration_sec * env_cfg.ctrl_freq))[1]
-
-    states, rewards = rollout(envbase.reset(env_cfg, params_env))
+    states, rewards = deterministic_rollout(env_cfg, aux, params,
+                                            int(duration_sec * env_cfg.ctrl_freq))
     print(f"[INFO] replay total reward {float(np.asarray(rewards).sum()):.1f}")
     logger = Logger(logging_freq_hz=env_cfg.ctrl_freq, num_drones=num_drones,
                     output_folder=output_folder, colab=colab)

@@ -144,7 +144,6 @@ def velocity_step_soa(consts: Dict[str, object], ctrl_dt, pyb_dt,
     qx, qy, qz, qw = s["qx"], s["qy"], s["qz"], s["qw"]
     vx, vy, vz = s["vx"], s["vy"], s["vz"]
     wx, wy, wz = s["wx"], s["wy"], s["wz"]
-    last = [s["r0"], s["r1"], s["r2"], s["r3"]]
     ipz_ = [s["ipx"], s["ipy"], s["ipz"]]
     ir = [s["irx"], s["iry"], s["irz"]]
     lr = [s["lrx"], s["lry"], s["lrz"]]

@@ -29,12 +29,7 @@ from flax import struct
 
 from gym_pybullet_drones_tpu.envs import base as envbase
 from gym_pybullet_drones_tpu.envs.base import AviaryConfig
-from gym_pybullet_drones_tpu.runtime.rollout import (
-    StepOutput,
-    batch_reset,
-    make_batched_step,
-    tree_where,
-)
+from gym_pybullet_drones_tpu.runtime.rollout import batch_reset, make_batched_step
 
 
 class ActorCritic(nn.Module):
@@ -323,22 +318,21 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
     return train_step
 
 
-def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
-                    num_envs: int = 1, deterministic: bool = True,
-                    rng: Optional[jax.Array] = None):
-    """Deterministic jitted eval rollout; returns (mean episode return, n
-    completed episodes) — the analogue of SB3's `evaluate_policy`
-    (learn.py:149-152)."""
+def _eval_run_fn(env_cfg: AviaryConfig, aux, num_steps: int, num_envs: int,
+                 deterministic: bool):
+    """Build (and cache in `aux`) the jitted eval rollout — a fresh jit per
+    call would retrace on every evaluation."""
+    cache = aux.setdefault("_eval_cache", {})
+    key = (num_steps, num_envs, deterministic)
+    if key in cache:
+        return cache[key]
     network = aux["network"]
     step_env = make_batched_step(
         env_cfg, aux["params_env"], aux["ctrl_params"], aux["target_pos"],
         auto_reset=True,
     )
-    env_state = batch_reset(env_cfg, aux["params_env"], num_envs)
-    obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
-    rng = jax.random.key(0) if rng is None else rng
 
-    def body(carry, key):
+    def body(params, carry, key):
         env_state, obs = carry
         mean, log_std, _ = network.apply(params, obs)
         action = mean if deterministic else mean + jnp.exp(log_std) * jax.random.normal(key, mean.shape)
@@ -350,12 +344,27 @@ def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
         return (env_state, out.obs), (out.reward, done)
 
     @jax.jit
-    def run(env_state, obs, rng):
+    def run(params, env_state, obs, rng):
         keys = jax.random.split(rng, num_steps)
-        (_, _), (rewards, dones) = jax.lax.scan(body, (env_state, obs), keys)
+        (_, _), (rewards, dones) = jax.lax.scan(
+            partial(body, params), (env_state, obs), keys)
         return rewards, dones
 
-    rewards, dones = run(env_state, obs, rng)
+    cache[key] = run
+    return run
+
+
+def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
+                    num_envs: int = 1, deterministic: bool = True,
+                    rng: Optional[jax.Array] = None):
+    """Deterministic jitted eval rollout; returns (mean episode return, n
+    completed episodes) — the analogue of SB3's `evaluate_policy`
+    (learn.py:149-152)."""
+    env_state = batch_reset(env_cfg, aux["params_env"], num_envs)
+    obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s, aux["params_env"]))(env_state)
+    rng = jax.random.key(0) if rng is None else rng
+    run = _eval_run_fn(env_cfg, aux, num_steps, num_envs, deterministic)
+    rewards, dones = run(params, env_state, obs, rng)
     rewards, dones = np.asarray(rewards), np.asarray(dones)
     totals, count, running = [], 0, np.zeros(num_envs)
     for t in range(num_steps):
@@ -367,3 +376,29 @@ def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
                 count += 1
     mean_ret = float(np.mean(totals)) if totals else float(running.mean())
     return mean_ret, count
+
+
+def deterministic_rollout(env_cfg: AviaryConfig, aux, params, num_steps: int):
+    """Deterministic single-env rollout returning the stacked 20-dim state
+    trajectory and per-step rewards (the logged replay of learn.py:155-192 /
+    play.py:20-76). Shared by the learn and play examples."""
+    network = aux["network"]
+    params_env, ctrl_params = aux["params_env"], aux["ctrl_params"]
+    target_pos = aux["target_pos"]
+    n, a = env_cfg.num_drones, env_cfg.action_dim
+
+    @jax.jit
+    def run(state):
+        def body(carry, _):
+            s, o = carry
+            mean, _, _ = network.apply(params, o[None])
+            act = jnp.clip(mean, -1.0, 1.0).reshape(n, a)
+            s, o2, r, t, tr = envbase.step(env_cfg, params_env, ctrl_params,
+                                           target_pos, s, act)
+            return (s, o2), (envbase.drone_state_vector(env_cfg, s), r)
+        o0 = envbase.compute_obs(env_cfg, state, params_env)
+        (_, _), (states, rewards) = jax.lax.scan(body, (state, o0), None,
+                                                 length=num_steps)
+        return states, rewards
+
+    return run(envbase.reset(env_cfg, params_env))

@@ -27,10 +27,9 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gym_pybullet_drones_tpu.core import aero
-from gym_pybullet_drones_tpu.core.dynamics import KinState
 from gym_pybullet_drones_tpu.envs import base as envbase
 from gym_pybullet_drones_tpu.envs.base import AviaryConfig
-from gym_pybullet_drones_tpu.runtime.rollout import StepOutput, batch_reset, make_batched_step
+from gym_pybullet_drones_tpu.runtime.rollout import make_batched_step
 
 
 def init_distributed(coordinator_address: Optional[str] = None,

@@ -59,3 +59,22 @@ def test_play_roundtrip(tmp_path):
 def test_mrac(tmp_path):
     final_pos = mrac.run(plot=False, output_folder=str(tmp_path), duration_sec=10)
     assert abs(final_pos[2] - 1.0) < 0.05
+
+
+def test_beta_example(tmp_path):
+    from gym_pybullet_drones_tpu.examples import beta
+
+    logger = beta.run(gui=False, plot=False, output_folder=str(tmp_path),
+                      duration_sec=5)
+    st = logger.states
+    assert np.all(np.isfinite(st))
+    assert st[0, 2, -1] > 0.5  # airborne after climb-out
+
+
+def test_cf_example(tmp_path):
+    from gym_pybullet_drones_tpu.examples import cf
+
+    logger = cf.run(plot=False, output_folder=str(tmp_path), duration_sec=8)
+    st = logger.states
+    assert np.all(np.isfinite(st))
+    assert abs(st[0, 2, -1] - 0.5) < 0.15  # holding the square's altitude

@@ -118,6 +118,7 @@ def substep_pyb(
     dw: bool = False,
     contact: bool = True,
     renormalize_quat: bool = True,
+    dw_src_pos=None,
 ) -> KinState:
     """One PyBullet-compatible substep with optional aero terms.
 
@@ -147,7 +148,11 @@ def substep_pyb(
     if drag:
         force_world = force_world + aero.drag_force_world(last_rpm, state.vel, params)
     if dw:
-        dw_mag = aero.downwash_forces_body_z(state.pos, params)  # (..., N)
+        # ``dw_src_pos`` supplies external wake sources — e.g. the
+        # all-gathered global positions when the drone axis is sharded over a
+        # mesh (runtime/swarm.py); default: the local fleet itself.
+        dw_mag = aero.downwash_forces_body_z(state.pos, params,
+                                             pos_above=dw_src_pos)  # (..., N)
         force_world = force_world + R[..., :, 2] * dw_mag[..., None]
 
     accel = force_world / params.m

@@ -1,0 +1,73 @@
+"""Sharded interacting swarm: one aviary's drone axis spans the device mesh.
+
+`runtime/mesh.py` shards the *env* axis (independent instances, zero
+collectives). This module shards the *drone* axis of a single physically
+coupled swarm — the scaling story for BASELINE config 5 ("4096 vectorized
+drones ... sharded over hosts") when the drones interact through downwash
+(the reference's only cross-drone force, BaseAviary.py:798-811).
+
+Inside `shard_map`, each shard advances its local (N/D)-drone slab through
+the full PYB substep pipeline; the downwash term reads wake sources from an
+`all_gather` of ALL drone positions over ICI (a few KB per substep at 4096
+drones). Everything else — thrust, ground effect, drag, integration — stays
+shard-local, so the collective volume per step is `n_substeps * N * 3`
+floats.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gym_pybullet_drones_tpu.core.dynamics import KinState, substep_pyb
+from gym_pybullet_drones_tpu.core.params import DroneParams
+from gym_pybullet_drones_tpu.envs.spec import Physics
+
+_FLAGS = {
+    Physics.PYB: dict(gnd=False, drag=False, dw=False),
+    Physics.PYB_GND: dict(gnd=True, drag=False, dw=False),
+    Physics.PYB_DRAG: dict(gnd=False, drag=True, dw=False),
+    Physics.PYB_DW: dict(gnd=False, drag=False, dw=True),
+    Physics.PYB_GND_DRAG_DW: dict(gnd=True, drag=True, dw=True),
+}
+
+
+def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
+                               n_substeps: int,
+                               physics: Physics = Physics.PYB_DW,
+                               axis: str = "env"):
+    """Build `step(kin, rpm, last_rpm) -> (kin, last_rpm)` where every leaf's
+    leading drone axis is sharded over `mesh` and downwash couples shards.
+
+    Matches `core.dynamics.step_physics` for the PYB modes (incl. the
+    previous-action drag quirk); `Physics.DYN` has no cross-drone terms, so
+    use the plain sharded env path for it.
+    """
+    flags = dict(_FLAGS[physics])
+    use_dw = flags.pop("dw")
+
+    def local_step(kin: KinState, rpm, last_rpm):
+        for _ in range(n_substeps):
+            dw_src = (jax.lax.all_gather(kin.pos, axis, axis=0, tiled=True)
+                      if use_dw else None)
+            kin = substep_pyb(kin, rpm, last_rpm, params, dt,
+                              dw=use_dw, dw_src_pos=dw_src, **flags)
+            last_rpm = rpm
+        return kin, last_rpm
+
+    spec_kin = KinState(pos=P(axis), quat=P(axis), vel=P(axis),
+                        ang_v=P(axis), rpy_rates=P(axis))
+    stepped = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(spec_kin, P(axis), P(axis)),
+        out_specs=(spec_kin, P(axis)),
+    )
+    return jax.jit(stepped)
+
+
+def shard_swarm_kin(mesh: Mesh, kin: KinState, axis: str = "env") -> KinState:
+    """Place a KinState (leading drone axis) onto the mesh, sharded."""
+    sh = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sh), kin)

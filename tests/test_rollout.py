@@ -176,3 +176,38 @@ def test_rgb_cnn_ppo_train_step():
     train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux))
     runner, metrics = train(runner)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_sharded_swarm_physics_matches_dense():
+    """Drone-axis-sharded PYB_DW physics == the dense single-device pipeline."""
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state, step_physics
+    from gym_pybullet_drones_tpu.envs.spec import Physics
+    from gym_pybullet_drones_tpu.runtime.swarm import (
+        make_sharded_swarm_physics,
+        shard_swarm_kin,
+    )
+
+    cfg = AviaryConfig(task=TASK_CTRL, num_drones=32)
+    params = envbase.build_params(cfg)
+    mesh = meshmod.make_mesh()
+    N = 32
+    rng = np.random.RandomState(3)
+    pos = jnp.asarray(rng.uniform(-1, 1, (N, 3)) * np.array([1, 1, 0.5])
+                      + [0, 0, 1.0], dtype=jnp.float32)
+    quat = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, 1))
+    kin = init_kin_state(pos, quat)
+    rpm = jnp.full((N, 4), float(params.hover_rpm), jnp.float32)
+    last = jnp.zeros((N, 4), jnp.float32)
+
+    dense_kin, dense_last = step_physics(kin, rpm, last, params, 1 / 240, 5,
+                                         Physics.PYB_DW)
+
+    step = make_sharded_swarm_physics(mesh, params, 1 / 240, 5, Physics.PYB_DW)
+    skin = shard_swarm_kin(mesh, kin)
+    out_kin, out_last = step(skin, rpm, last)
+    np.testing.assert_allclose(np.asarray(out_kin.pos),
+                               np.asarray(dense_kin.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_kin.vel),
+                               np.asarray(dense_kin.vel), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_kin.quat),
+                               np.asarray(dense_kin.quat), atol=1e-6)

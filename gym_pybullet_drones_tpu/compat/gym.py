@@ -165,6 +165,10 @@ class BaseAviaryEnv(gym.Env):
         self.ACT_TYPE, self.OBS_TYPE = act, obs
         self.ACTION_BUFFER_SIZE = action_buffer_size
         self.SPEED_LIMIT = 0.03 * self.MAX_SPEED_KMH * (1000.0 / 3600.0)
+        # Vision attributes (BaseAviary.py:141-146): IMG_RES is (width, height)
+        self.IMG_RES = np.array([64, 48])
+        self.IMG_FRAME_PER_SEC = 24
+        self.IMG_CAPTURE_FREQ = max(1, int(pyb_freq / self.IMG_FRAME_PER_SEC))
 
         self.action_space = self._action_space()
         self.observation_space = self._observation_space()

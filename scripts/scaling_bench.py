@@ -16,6 +16,7 @@ exercised separately by `runtime/mesh.make_swarm_downwash_fn`.
 
 import json
 import time
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +30,6 @@ from gym_pybullet_drones_tpu.envs.base import (
 from gym_pybullet_drones_tpu.runtime.mesh import (
     env_sharding,
     make_mesh,
-    make_sharded_batched_step,
     shard_env_batch,
 )
 from gym_pybullet_drones_tpu.runtime.rollout import batch_reset
@@ -46,18 +46,25 @@ def run_at(n_devices: int):
     ctrl_params = build_ctrl_params(cfg)
     tp = jnp.zeros((cfg.num_drones, 3), dtype=cfg.jnp_dtype)
     E = PER_DEVICE * n_devices
-    step = make_sharded_batched_step(cfg, params, ctrl_params, tp, mesh,
-                                     auto_reset=False, donate=False)
+    from gym_pybullet_drones_tpu.runtime.rollout import make_batched_step
+
+    raw_step = make_batched_step(cfg, params, ctrl_params, tp, auto_reset=False)
     state = shard_env_batch(mesh, batch_reset(cfg, params, E))
     angles = jnp.linspace(0.0, 2 * jnp.pi, E, endpoint=False)
     action = jax.device_put(
         jnp.stack([jnp.cos(angles), jnp.sin(angles), jnp.zeros_like(angles),
                    jnp.full_like(angles, 0.25)], -1)[:, None, :],
         env_sharding(mesh))
+    sh = env_sharding(mesh)
 
+    # One fused scan per measurement so per-dispatch latency amortizes
+    # (docs/PERF.md "chunk amortization").
+    @partial(jax.jit, out_shardings=None)
     def chunk(state):
-        for _ in range(CHUNK):
-            state, _ = step(state, action)
+        def body(s, _):
+            s, _out = raw_step(s, action)
+            return s, None
+        state, _ = jax.lax.scan(body, state, None, length=CHUNK)
         return state
 
     state = chunk(state)

@@ -56,24 +56,29 @@ class BetaBridge:
     def __del__(self):
         self.close()
 
+    def _handle(self):
+        if not self._h:
+            raise RuntimeError("betabridge: channel is closed")
+        return self._h
+
     def send_fdm(self, t, gyro_body, lin_acc=(0, 0, 0),
                  quat_wxyz=(1, 0, 0, 0), vel=(0, 0, 0), pos=(0, 0, 0),
                  pressure=1.0):
         """FDM state packet; ENU->NED gyro sign flips happen in the bridge."""
-        return _lib.bb_send_fdm(self._h, float(t), _dptr(gyro_body),
+        return _lib.bb_send_fdm(self._handle(), float(t), _dptr(gyro_body),
                                 _dptr(lin_acc), _dptr(quat_wxyz), _dptr(vel),
                                 _dptr(pos), float(pressure)) == 0
 
     def send_rc(self, t, channels):
         ch = np.ascontiguousarray(channels, dtype=np.uint16)
         assert ch.shape == (16,), ch.shape
-        return _lib.bb_send_rc(self._h, float(t),
+        return _lib.bb_send_rc(self._handle(), float(t),
                                ch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))) == 0
 
     def recv_pwm(self):
         """(pwm[4] in 0..1, fresh: bool); stale values repeat on miss."""
         out = (ctypes.c_float * 4)()
-        fresh = _lib.bb_recv_pwm(self._h, out)
+        fresh = _lib.bb_recv_pwm(self._handle(), out)
         return np.array(out[:]), bool(fresh)
 
 

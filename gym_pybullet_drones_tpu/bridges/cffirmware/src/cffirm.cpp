@@ -282,6 +282,22 @@ void controllerPid(control_t* control, const setpoint_t* setpoint,
                           -32000.0f, 32000.0f);
     control->thrust = pidc.thrust_sp;
   }
+
+  // Disarmed / zero-thrust branch (controller_pid.c semantics): no torque
+  // outputs and all integrators reset, so nothing winds up while the vehicle
+  // sits on the ground waiting for a setpoint.
+  if (control->thrust == 0.0f) {
+    control->roll = 0.0f;
+    control->pitch = 0.0f;
+    control->yaw = 0.0f;
+    pid_reset(&pidc.px); pid_reset(&pidc.py); pid_reset(&pidc.pz);
+    pid_reset(&pidc.vx); pid_reset(&pidc.vy); pid_reset(&pidc.vz);
+    pid_reset(&pidc.roll); pid_reset(&pidc.pitch); pid_reset(&pidc.yaw);
+    pid_reset(&pidc.rollRate); pid_reset(&pidc.pitchRate); pid_reset(&pidc.yawRate);
+    pidc.att_roll_sp = 0.0f;
+    pidc.att_pitch_sp = 0.0f;
+    pidc.thrust_sp = 0.0f;
+  }
 }
 
 // ---------------------------------------------------------------------------

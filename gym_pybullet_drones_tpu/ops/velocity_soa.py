@@ -43,6 +43,9 @@ SOA_KEYS = (
 def soa_from_state(state) -> Dict[str, jax.Array]:
     """AviaryState (leaves (E, 1, d)) -> dict of (E,) component arrays."""
     kin = state.kin
+    assert kin.pos.shape[-2] == 1, (
+        f"SoA fast path is single-drone-per-env (got N={kin.pos.shape[-2]}); "
+        "use the general envs/base step for multi-drone aviaries")
     sq = lambda x, i: x[..., 0, i]
     s = {}
     for i, k in enumerate(("px", "py", "pz")):

@@ -118,16 +118,24 @@ def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig()):
         )
 
     # --- other drones as spheres (ids 1..N) ----------------------------------
-    for j in range(N):
-        t_j = _ray_sphere(o, d, pos[j][None, None, None, :], cfg.drone_radius)
-        # A drone never sees itself (camera sits above its own sphere)
-        t_j = jnp.where(
-            jnp.arange(N)[:, None, None] == j, jnp.inf, t_j)
-        n_j = (o + d * t_j[..., None]) - pos[j]
-        shade = jnp.clip(n_j[..., 2] / cfg.drone_radius, 0.2, 1.0)
-        rgb_j = jnp.stack([80.0 * shade, 80.0 * shade, 90.0 * shade], -1) + 100.0
-        best_t, best_id, best_rgb = consider(
-            (best_t, best_id, best_rgb), t_j, j + 1, rgb_j)
+    # One batched intersection over a trailing sphere axis + min-reduce, so
+    # the compiled program size is constant in fleet size (a per-drone Python
+    # loop would unroll N full-frame kernels). Memory is (N, H, W, N) floats;
+    # tile the sphere axis if fleets grow beyond a few hundred drones.
+    t_all = _ray_sphere(o[..., None, :], d[..., None, :],
+                        pos[None, None, None, :, :], cfg.drone_radius)
+    # A drone never sees itself (camera sits above its own sphere)
+    self_mask = (jnp.arange(N)[:, None, None, None]
+                 == jnp.arange(N)[None, None, None, :])
+    t_all = jnp.where(self_mask, jnp.inf, t_all)
+    j_min = jnp.argmin(t_all, axis=-1)  # (N, H, W)
+    t_d = jnp.take_along_axis(t_all, j_min[..., None], axis=-1)[..., 0]
+    hit_center = jnp.take(pos, j_min, axis=0)  # (N, H, W, 3)
+    n_d = (o + d * t_d[..., None]) - hit_center
+    shade = jnp.clip(n_d[..., 2] / cfg.drone_radius, 0.2, 1.0)
+    rgb_d = jnp.stack([80.0 * shade, 80.0 * shade, 90.0 * shade], -1) + 100.0
+    best_t, best_id, best_rgb = consider(
+        (best_t, best_id, best_rgb), t_d, j_min + 1, rgb_d)
 
     # --- landmarks (ids N+1..N+4) --------------------------------------------
     if cfg.with_landmarks:

@@ -53,11 +53,9 @@ def restore_checkpoint(path: str, template: Any, step: int = None) -> Any:
     With `step=None`, picks the highest `step_*` under `path`."""
     path = os.path.abspath(path)
     if step is None:
-        steps = [int(d.split("_")[1]) for d in os.listdir(path)
-                 if d.startswith("step_")]
-        if not steps:
+        step = latest_step(path)
+        if step < 0:
             raise FileNotFoundError(f"no checkpoints under {path}")
-        step = max(steps)
     ckpt_dir = os.path.join(path, f"step_{step}")
     flat_template = _unkey(template)
     if _HAS_ORBAX:

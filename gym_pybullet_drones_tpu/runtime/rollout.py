@@ -97,6 +97,10 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
             unhealthy = ~env_health(new_state)
             trunc = trunc | unhealthy
             reward = jnp.where(unhealthy, jnp.zeros_like(reward), reward)
+            # The NaN state's observation must not leak anywhere — not even as
+            # final_obs, which PPO feeds through the value network for the
+            # time-limit bootstrap (rl/ppo.py).
+            obs = tree_where(unhealthy, jnp.broadcast_to(init_obs, obs.shape), obs)
         if not auto_reset:
             return new_state, StepOutput(obs, reward, term, trunc, obs)
         done = term | trunc

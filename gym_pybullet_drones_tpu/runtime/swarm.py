@@ -21,17 +21,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from gym_pybullet_drones_tpu.core.dynamics import KinState, substep_pyb
+from gym_pybullet_drones_tpu.core.dynamics import _PYB_FLAGS, KinState, substep_pyb
 from gym_pybullet_drones_tpu.core.params import DroneParams
 from gym_pybullet_drones_tpu.envs.spec import Physics
-
-_FLAGS = {
-    Physics.PYB: dict(gnd=False, drag=False, dw=False),
-    Physics.PYB_GND: dict(gnd=True, drag=False, dw=False),
-    Physics.PYB_DRAG: dict(gnd=False, drag=True, dw=False),
-    Physics.PYB_DW: dict(gnd=False, drag=False, dw=True),
-    Physics.PYB_GND_DRAG_DW: dict(gnd=True, drag=True, dw=True),
-}
 
 
 def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
@@ -45,7 +37,7 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
     previous-action drag quirk); `Physics.DYN` has no cross-drone terms, so
     use the plain sharded env path for it.
     """
-    flags = dict(_FLAGS[physics])
+    flags = dict(_PYB_FLAGS[physics])
     use_dw = flags.pop("dw")
 
     def local_step(kin: KinState, rpm, last_rpm):

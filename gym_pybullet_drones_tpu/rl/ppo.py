@@ -118,6 +118,7 @@ class PPOConfig:
     n_epochs: int = 10
     minibatch_size: int = 64
     hidden: tuple = (64, 64)
+    log_std_init: float = 0.0  # initial Gaussian log-std (SB3 default 0.0)
 
     @property
     def batch_size(self) -> int:
@@ -167,11 +168,13 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
     act_dim = env_cfg.num_drones * env_cfg.action_dim
     rng, init_key = jax.random.split(rng)
     if env_cfg.obs_type == ObservationType.RGB:
-        network = CnnActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden)
+        network = CnnActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden,
+                                 log_std_init=ppo_cfg.log_std_init)
         params = network.init(
             init_key, jnp.zeros((1, env_cfg.num_drones, 48, 64, 4), jnp.uint8))
     else:
-        network = ActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden)
+        network = ActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden,
+                              log_std_init=ppo_cfg.log_std_init)
         params = network.init(
             init_key, jnp.zeros((1, env_cfg.num_drones * env_cfg.obs_dim)))
     tx = optax.chain(

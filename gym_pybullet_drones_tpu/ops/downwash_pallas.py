@@ -1,0 +1,81 @@
+"""Tiled Pallas downwash: O(N^2) pair interactions without O(N^2) memory.
+
+The vectorized downwash in `core/aero.py` materializes the full (N, N) pair
+tensor — fine at 4096 drones (~67 MB of intermediates), impossible at 65k+
+(17 GB). This kernel tiles the pair space like an n-body kernel: a 2-D grid
+over (target block, source block), each cell computing a (BT, BS) interaction
+tile in VMEM and accumulating the source-sum into the target block's output.
+Peak memory is O(N + BT*BS); arithmetic is identical to
+`aero.downwash_forces_body_z` (BaseAviary._downwash semantics, :798-811).
+
+Layout: target coordinates ride the sublane axis ((BT, 1) blocks), source
+coordinates the lane axis ((1, BS) blocks), so the (BT, BS) tile is a plain
+VPU outer-product broadcast.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_pybullet_drones_tpu.core.params import DroneParams
+
+_BT = 256  # targets per block (sublane axis)
+_BS = 512  # sources per block (lane axis)
+
+
+def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
+                         interpret: bool = False):
+    """Build `dw(pos) -> (N,)` for (N, 3) positions; N % max(bt, bs) == 0."""
+    c1 = float(params.dw_coeff_1)
+    c2 = float(params.dw_coeff_2)
+    c3 = float(params.dw_coeff_3)
+    pr = float(params.prop_radius)
+
+    def kernel(xt, yt, zt, xs, ys, zs, out):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            out[:] = jnp.zeros_like(out)
+
+        dx = xs[:] - xt[:]  # (BT, BS) via (1, BS) - (BT, 1)
+        dy = ys[:] - yt[:]
+        dz = zs[:] - zt[:]
+        dxy = jnp.sqrt(dx * dx + dy * dy)
+        safe_dz = jnp.where(dz > 0, dz, 1.0)
+        alpha = c1 * (pr / (4.0 * safe_dz)) ** 2
+        beta = c2 * safe_dz + c3
+        safe_beta = jnp.where(jnp.abs(beta) > 1e-12, beta, 1.0)
+        mag = alpha * jnp.exp(-0.5 * (dxy / safe_beta) ** 2)
+        mask = (dz > 0) & (dxy < 10.0)
+        contrib = jnp.where(mask, mag, 0.0)
+        out[:] -= jnp.sum(contrib, axis=1, keepdims=True)
+
+    def dw(pos):
+        N = pos.shape[0]
+        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        xt = pos[:, 0].reshape(N, 1)
+        yt = pos[:, 1].reshape(N, 1)
+        zt = pos[:, 2].reshape(N, 1)
+        xs = pos[:, 0].reshape(1, N)
+        ys = pos[:, 1].reshape(1, N)
+        zs = pos[:, 2].reshape(1, N)
+        t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // bt, N // bs),
+            in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
+            out_specs=pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            interpret=interpret,
+        )(xt, yt, zt, xs, ys, zs)
+        return out[:, 0]
+
+    return dw

@@ -112,3 +112,23 @@ def test_tpu_math_matches_numpy():
                                -np.pi / 2)
     np.testing.assert_allclose(float(atan2(jnp.float32(0.0), jnp.float32(-2.0))),
                                np.pi, rtol=1e-6)
+
+
+def test_pallas_downwash_matches_dense():
+    from gym_pybullet_drones_tpu.core import aero
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
+
+    cfg = AviaryConfig(task=TASK_VELOCITY)
+    params = envbase.build_params(cfg)
+    N = 1024
+    rng = np.random.RandomState(5)
+    # Keep drones separated (>= 0.2 m vertical spacing scale) so pair
+    # magnitudes stay in a well-conditioned range
+    pos = jnp.asarray(
+        rng.uniform(-1, 1, (N, 3)) * np.array([4, 4, 1.5]) + [0, 0, 2.0],
+        jnp.float32)
+    dense = np.asarray(aero.downwash_forces_body_z(pos, params))
+    dw = make_downwash_pallas(params, bt=256, bs=256, interpret=True)
+    got = np.asarray(dw(pos))
+    np.testing.assert_allclose(got, dense, rtol=1e-4,
+                               atol=1e-4 * max(1.0, np.abs(dense).max()))

@@ -63,3 +63,43 @@ def shard_swarm_kin(mesh: Mesh, kin: KinState, axis: str = "env") -> KinState:
     """Place a KinState (leading drone axis) onto the mesh, sharded."""
     sh = NamedSharding(mesh, P(axis))
     return jax.tree.map(lambda x: jax.device_put(x, sh), kin)
+
+
+def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
+                           physics: Physics = Physics.PYB_DW):
+    """Single-device large-swarm step using the tiled Pallas downwash.
+
+    The dense all-pairs downwash in `substep_pyb` materializes (N, N)
+    intermediates — fine to ~8k drones, prohibitive beyond. This variant
+    computes the wake sum with `ops/downwash_pallas` (O(N) memory, measured
+    70 Gpairs/s at 65k drones) and feeds it into the same substep pipeline
+    via a zero-extra-cost trick: the substep's own dw term is disabled and
+    the Pallas force is injected as a body-z force alongside.
+    """
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
+
+    flags = dict(_PYB_FLAGS[physics])
+    use_dw = flags.pop("dw")
+    dw_fn = make_downwash_pallas(params) if use_dw else None
+
+    @jax.jit
+    def step(kin: KinState, rpm, last_rpm):
+        for _ in range(n_substeps):
+            if use_dw:
+                # Inject the Pallas wake force by shifting the rpm-derived
+                # thrust? No — cleanest is the dw_src hook with a (N, 3)
+                # source set; but the pair sum is exactly what dw_fn computes,
+                # so apply it directly as a velocity increment like substep's
+                # own dw force: F = R_z * mag; a = F/m.
+                from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
+
+                mag = dw_fn(kin.pos)  # (N,)
+                R = quat_to_matrix(kin.quat)
+                dv = R[..., :, 2] * (mag / params.m * dt)[..., None]
+                kin = kin.replace(vel=kin.vel + dv)
+            kin = substep_pyb(kin, rpm, last_rpm, params, dt,
+                              dw=False, **flags)
+            last_rpm = rpm
+        return kin, last_rpm
+
+    return step

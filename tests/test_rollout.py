@@ -211,3 +211,44 @@ def test_sharded_swarm_physics_matches_dense():
                                np.asarray(dense_kin.vel), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_kin.quat),
                                np.asarray(dense_kin.quat), atol=1e-6)
+
+
+def test_big_swarm_pallas_dw_matches_dense():
+    """Pallas-downwash big-swarm step == dense PYB_DW (Euler increments of
+    COM forces commute, so injecting the wake force before the substep's own
+    integration is algebraically identical)."""
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state, step_physics
+    from gym_pybullet_drones_tpu.envs.spec import Physics
+    from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
+
+    cfg = AviaryConfig(task=TASK_CTRL)
+    params = envbase.build_params(cfg)
+    N = 512
+    rng = np.random.RandomState(4)
+    # Jittered 8x8x8 lattice with >= 0.2 m separation: near-coincident drones
+    # make the 1/dz^2 wake magnitude ill-conditioned (fp noise flips masks)
+    g = np.stack(np.meshgrid(*[np.arange(8) * 0.5] * 3), -1).reshape(-1, 3)
+    pos = jnp.asarray(g + rng.uniform(-0.1, 0.1, g.shape) + [0, 0, 1.0],
+                      jnp.float32)
+    quat = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, 1))
+    kin = init_kin_state(pos, quat)
+    rpm = jnp.full((N, 4), float(params.hover_rpm), jnp.float32)
+    last = jnp.zeros((N, 4), jnp.float32)
+
+    dense_kin, _ = step_physics(kin, rpm, last, params, 1 / 240, 5,
+                                Physics.PYB_DW)
+    # interpret-mode Pallas on CPU
+    import gym_pybullet_drones_tpu.ops.downwash_pallas as dwp
+    step = None
+    orig = dwp.make_downwash_pallas
+    try:
+        dwp.make_downwash_pallas = lambda p, **kw: orig(p, bt=256, bs=256,
+                                                        interpret=True)
+        step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW)
+        big_kin, _ = step(kin, rpm, last)
+    finally:
+        dwp.make_downwash_pallas = orig
+    np.testing.assert_allclose(np.asarray(big_kin.pos),
+                               np.asarray(dense_kin.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(big_kin.vel),
+                               np.asarray(dense_kin.vel), atol=1e-3)

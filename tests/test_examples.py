@@ -78,3 +78,9 @@ def test_cf_example(tmp_path):
     st = logger.states
     assert np.all(np.isfinite(st))
     assert abs(st[0, 2, -1] - 0.5) < 0.15  # holding the square's altitude
+
+
+def test_learn_multiagent_ci_budget(tmp_path):
+    evals = learn.run(gui=False, plot=False, output_folder=str(tmp_path),
+                      local=False, num_envs=4, multiagent=True)
+    assert len(evals) >= 1 and np.isfinite(evals[-1][1])

@@ -245,3 +245,35 @@ def test_adjacency_matrix():
     adj = np.asarray(envs.adjacency_matrix(pos, 1.0))
     want = np.array([[1, 1, 0], [1, 1, 0], [0, 0, 1.0]])
     np.testing.assert_array_equal(adj, want)
+
+
+def test_compat_space_bounds_match_reference_numbers():
+    """Numeric space bounds parity (CtrlAviary.py:74-102, VelocityAviary.py:
+    82-94, BaseRLAviary.py:130-277)."""
+    import numpy as np
+    from gym_pybullet_drones_tpu.compat.gym import (
+        CtrlAviary, HoverAviary, VelocityAviary,
+    )
+
+    env = CtrlAviary(num_drones=2)
+    a = env.action_space
+    assert a.shape == (2, 4)
+    np.testing.assert_allclose(a.low, 0.0)
+    np.testing.assert_allclose(a.high, env.MAX_RPM, rtol=1e-6)
+    o = env.observation_space
+    assert o.shape == (2, 20)
+    np.testing.assert_allclose(o.low[:, 2], 0.0)          # z >= 0
+    np.testing.assert_allclose(o.low[:, 3:7], -1.0)        # quat
+    np.testing.assert_allclose(o.high[:, 7:10], np.pi)     # rpy
+    np.testing.assert_allclose(o.high[:, 16:20], env.MAX_RPM, rtol=1e-6)
+
+    v = VelocityAviary(num_drones=1)
+    np.testing.assert_allclose(v.action_space.low[0], [-1, -1, -1, 0])
+    np.testing.assert_allclose(v.action_space.high[0], [1, 1, 1, 1])
+
+    h = HoverAviary()
+    assert h.action_space.shape == (1, 1)
+    assert h.observation_space.shape == (1, 12 + 15 * 1)
+    np.testing.assert_allclose(h.observation_space.low[0, 2], 0.0)
+    np.testing.assert_allclose(h.observation_space.low[0, 12:], -1.0)
+    np.testing.assert_allclose(h.observation_space.high[0, 12:], 1.0)

@@ -75,3 +75,17 @@ def test_plot_renders(tmp_path):
     os.makedirs("results", exist_ok=True)
     lg.plot()  # colab=True -> saves png instead of showing
     assert os.path.exists(os.path.join("results", "output_figure.png"))
+
+
+def test_animate_trajectory_gif(tmp_path):
+    from gym_pybullet_drones_tpu.utils.viz import animate_trajectory
+
+    T, n = 30, 2
+    states = np.zeros((n, 16, T))
+    t = np.linspace(0, 2 * np.pi, T)
+    states[0, 0] = np.cos(t)
+    states[0, 1] = np.sin(t)
+    states[0, 2] = 1.0
+    states[1, 2] = 0.5 + 0.2 * np.sin(t)
+    out = animate_trajectory(states, str(tmp_path / "flight.gif"), stride=3)
+    assert os.path.exists(out) and os.path.getsize(out) > 1000

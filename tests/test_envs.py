@@ -264,7 +264,7 @@ def test_compat_space_bounds_match_reference_numbers():
     assert o.shape == (2, 20)
     np.testing.assert_allclose(o.low[:, 2], 0.0)          # z >= 0
     np.testing.assert_allclose(o.low[:, 3:7], -1.0)        # quat
-    np.testing.assert_allclose(o.high[:, 7:10], np.pi)     # rpy
+    np.testing.assert_allclose(o.high[:, 7:10], np.pi, rtol=1e-6)     # rpy
     np.testing.assert_allclose(o.high[:, 16:20], env.MAX_RPM, rtol=1e-6)
 
     v = VelocityAviary(num_drones=1)

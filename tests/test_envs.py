@@ -271,9 +271,9 @@ def test_compat_space_bounds_match_reference_numbers():
     np.testing.assert_allclose(v.action_space.low[0], [-1, -1, -1, 0])
     np.testing.assert_allclose(v.action_space.high[0], [1, 1, 1, 1])
 
-    h = HoverAviary()
-    assert h.action_space.shape == (1, 1)
-    assert h.observation_space.shape == (1, 12 + 15 * 1)
+    h = HoverAviary()  # default act=RPM (HoverAviary.py:22) -> 4-dim
+    assert h.action_space.shape == (1, 4)
+    assert h.observation_space.shape == (1, 12 + 15 * 4)
     np.testing.assert_allclose(h.observation_space.low[0, 2], 0.0)
     np.testing.assert_allclose(h.observation_space.low[0, 12:], -1.0)
     np.testing.assert_allclose(h.observation_space.high[0, 12:], 1.0)

@@ -4,6 +4,7 @@ from gym_pybullet_drones_tpu.rl.ppo import (
     PPOConfig,
     PPORunnerState,
     evaluate_policy,
+    make_ppo_train_loop,
     make_ppo_train_step,
     ppo_init,
 )

@@ -321,6 +321,25 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
     return train_step
 
 
+def make_ppo_train_loop(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux,
+                        updates_per_call: int):
+    """Chain `updates_per_call` full PPO update cycles into ONE jitted
+    dispatch (lax.scan over the train step). Each device dispatch costs ~30 ms
+    of host latency (docs/PERF.md), so chaining updates matters once a single
+    update is sub-100 ms. Returns `(runner, stacked_metrics)` where metric
+    leaves gain a leading (updates_per_call,) axis."""
+    train_step = make_ppo_train_step(env_cfg, ppo_cfg, aux)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_loop(runner):
+        def body(r, _):
+            r, m = train_step(r)
+            return r, m
+        return jax.lax.scan(body, runner, None, length=updates_per_call)
+
+    return train_loop
+
+
 def _eval_run_fn(env_cfg: AviaryConfig, aux, num_steps: int, num_envs: int,
                  deterministic: bool):
     """Build (and cache in `aux`) the jitted eval rollout — a fresh jit per

@@ -252,3 +252,18 @@ def test_big_swarm_pallas_dw_matches_dense():
                                np.asarray(dense_kin.pos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(big_kin.vel),
                                np.asarray(dense_kin.vel), atol=1e-3)
+
+
+def test_ppo_train_loop_chains_updates():
+    from gym_pybullet_drones_tpu.rl.ppo import (
+        PPOConfig, make_ppo_train_loop, ppo_init,
+    )
+
+    env_cfg = _hover_cfg(action_type=ActionType.ONE_D_RPM, action_buffer_size=2)
+    ppo_cfg = PPOConfig(num_envs=4, n_steps=8, n_epochs=1, minibatch_size=32)
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(0))
+    loop = make_ppo_train_loop(env_cfg, ppo_cfg, aux, updates_per_call=3)
+    runner, metrics = loop(runner)
+    assert metrics["loss"].shape == (3,)
+    assert int(runner.update_count) == 3
+    assert np.all(np.isfinite(np.asarray(metrics["loss"])))

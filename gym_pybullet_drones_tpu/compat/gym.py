@@ -206,7 +206,12 @@ class BaseAviaryEnv(gym.Env):
 
     def reset(self, seed: Optional[int] = None, options=None):
         super().reset(seed=seed)
+        prev = self._state
         self._state = envbase.reset(self.cfg, self.params)
+        if prev is not None and self.ACTION_BUFFER_SIZE > 0:
+            # The reference's RL action deque persists across reset()
+            # (BaseRLAviary.py:153-155 fills it once at construction).
+            self._state = self._state.replace(action_buffer=prev.action_buffer)
         obs = self._np_obs(envbase.compute_obs(self.cfg, self._state))
         self._start_wall = time.time()
         if self.RECORD:

@@ -146,8 +146,15 @@ class MRAC(BaseControl):
         self.reset()
 
     def reset(self):
+        # Reference MRAC.reset only zeroes the counter (MRAC.py:106-107):
+        # the adapted gains Kx/Kr persist across flights; Xm re-snaps to the
+        # measured state on the next call via the `initialized` flag.
         super().reset()
-        self.state = mrac_reset(self.params)
+        if not hasattr(self, "state"):
+            self.state = mrac_reset(self.params)
+        else:
+            self.state = self.state.replace(
+                initialized=jnp.zeros_like(self.state.initialized))
 
     def computeControl(self, control_timestep, cur_pos, cur_quat, cur_vel,
                        cur_ang_vel, target_pos, target_rpy=np.zeros(3),

@@ -107,9 +107,19 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
         fresh = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (obs.shape[0],) + x.shape), init_state
         )
+        persisted_buffer = new_state.action_buffer
         new_state = tree_where(done, fresh, new_state)
+        # Reference parity: BaseRLAviary's action deque is filled with zeros
+        # once at construction and NEVER cleared on reset
+        # (BaseRLAviary.py:153-155), so it persists across episodes.
+        new_state = new_state.replace(action_buffer=persisted_buffer)
         final_obs = obs
-        obs = tree_where(done, jnp.broadcast_to(init_obs, obs.shape), obs)
+        if cfg.action_buffer_size > 0 and obs.dtype != jnp.uint8:
+            # Post-reset KIN obs = fresh kinematics + the persisted buffer
+            reset_obs = jax.vmap(partial(envbase.compute_obs, cfg))(new_state)
+            obs = tree_where(done, reset_obs, obs)
+        else:
+            obs = tree_where(done, jnp.broadcast_to(init_obs, obs.shape), obs)
         return new_state, StepOutput(obs, reward, term, trunc, final_obs)
 
     return step

@@ -80,6 +80,129 @@ def dyn_substep(pos, quat, vel, rpy_rates, rpm, c, dt, model=DroneModel.CF2X):
     return pos, quat, vel, rpy_rates, ang_v
 
 
+def _ground_effect_prop_forces(pos, R, rpy, rpm, c):
+    """Per-prop ground-effect increments (BaseAviary._groundEffect, :715-752)."""
+    offs = np.asarray(c["prop_offsets"], dtype=np.float64)  # (4, 3)
+    prop_z = pos[2] + offs @ R[2, :]
+    heights = np.clip(prop_z, c["gnd_eff_h_clip"], np.inf)
+    ge = (
+        np.asarray(rpm, dtype=np.float64) ** 2
+        * c["kf"]
+        * c["gnd_eff_coeff"]
+        * (c["prop_radius"] / (4.0 * heights)) ** 2
+    )
+    if abs(rpy[0]) < np.pi / 2 and abs(rpy[1]) < np.pi / 2:
+        return ge
+    return np.zeros(4)
+
+
+def _downwash_body_z(pos_all, k, c):
+    """Summed downwash magnitude on drone k along its body -z
+    (BaseAviary._downwash, :785-811): every drone i strictly above k within
+    10 m lateral distance contributes -alpha * exp(-0.5 (dxy/beta)^2)."""
+    total = 0.0
+    for i in range(len(pos_all)):
+        delta = pos_all[i] - pos_all[k]
+        dz = delta[2]
+        dxy = np.linalg.norm(delta[0:2])
+        if dz > 0 and dxy < 10.0:
+            alpha = c["dw_coeff_1"] * (c["prop_radius"] / (4.0 * dz)) ** 2
+            beta = c["dw_coeff_2"] * dz + c["dw_coeff_3"]
+            total += -alpha * np.exp(-0.5 * (dxy / beta) ** 2)
+    return total
+
+
+def pyb_substep_fleet(
+    pos, quat, vel, ang_v, rpm, last_rpm, c, dt,
+    model=DroneModel.CF2X,
+    gnd=False, drag=False, dw=False, contact=True,
+):
+    """One PyBullet-compatible substep for an (N, ·) fleet, float64 NumPy.
+
+    Independent implementation of the force-level pipeline the reference feeds
+    PyBullet (BaseAviary._physics :679-711 + aero terms :715-811, stepped by
+    stepSimulation :370): per-prop thrusts at the prop link offsets, yaw
+    reaction torque, optional ground effect / drag (previous substep's action)
+    / downwash, semi-implicit Euler with body-frame Newton-Euler rotation and
+    a plane-contact clamp standing in for Bullet's constraint solver (see
+    docs/PYB_DERIVATION.md for the derivation and deviation bounds).
+
+    ``ang_v`` is world-frame. Arrays are modified copies; returns the new
+    (pos, quat, vel, ang_v) tuple.
+    """
+    n = len(pos)
+    pos, quat = np.array(pos, dtype=np.float64), np.array(quat, dtype=np.float64)
+    vel, ang_v = np.array(vel, dtype=np.float64), np.array(ang_v, dtype=np.float64)
+    offs = np.asarray(c["prop_offsets"], dtype=np.float64)
+    for j in range(n):
+        R = Rotation.from_quat(quat[j]).as_matrix()
+        rpy = Rotation.from_quat(quat[j]).as_euler("xyz")
+        forces = np.asarray(rpm[j], dtype=np.float64) ** 2 * c["kf"]
+        z_torques = np.asarray(rpm[j], dtype=np.float64) ** 2 * c["km"]
+        if model == DroneModel.RACE:
+            z_torques = -z_torques
+        z_torque = -z_torques[0] + z_torques[1] - z_torques[2] + z_torques[3]
+        prop_forces = forces
+        if gnd:
+            prop_forces = prop_forces + _ground_effect_prop_forces(
+                pos[j], R, rpy, rpm[j], c)
+        tau_x = np.dot(prop_forces, offs[:, 1])
+        tau_y = -np.dot(prop_forces, offs[:, 0])
+        torques_body = np.array([tau_x, tau_y, z_torque])
+        force_world = R[:, 2] * np.sum(prop_forces)
+        if drag:
+            drag_coeff = np.array(
+                [c["drag_coeff_xy"], c["drag_coeff_xy"], c["drag_coeff_z"]])
+            omega_sum = np.sum(2.0 * np.pi * np.asarray(last_rpm[j]) / 60.0)
+            force_world = force_world + (-drag_coeff * omega_sum * vel[j])
+        if dw:
+            force_world = force_world + R[:, 2] * _downwash_body_z(pos, j, c)
+        accel = force_world / c["m"] - np.array([0.0, 0.0, G])
+        new_vel = vel[j] + dt * accel
+        omega_body = R.T @ ang_v[j]
+        coupling = np.cross(omega_body, c["J"] @ omega_body)
+        new_omega_body = omega_body + dt * (c["J_inv"] @ (torques_body - coupling))
+        new_ang_v = R @ new_omega_body
+        new_pos = pos[j] + dt * new_vel
+        new_quat = integrate_q(quat[j], new_omega_body, dt)
+        new_quat = new_quat / np.linalg.norm(new_quat)
+        if contact:
+            z_min = c["collision_h"] / 2.0 - c["collision_z_offset"]
+            if new_pos[2] < z_min:
+                new_pos[2] = z_min
+                new_vel[2] = max(new_vel[2], 0.0)
+                if accel[2] <= 0.0:
+                    new_ang_v = np.zeros(3)
+        pos[j], quat[j], vel[j], ang_v[j] = new_pos, new_quat, new_vel, new_ang_v
+    return pos, quat, vel, ang_v
+
+
+_PYB_MODE_FLAGS = {
+    "PYB": dict(gnd=False, drag=False, dw=False),
+    "PYB_GND": dict(gnd=True, drag=False, dw=False),
+    "PYB_DRAG": dict(gnd=False, drag=True, dw=False),
+    "PYB_DW": dict(gnd=False, drag=False, dw=True),
+    "PYB_GND_DRAG_DW": dict(gnd=True, drag=True, dw=True),
+}
+
+
+def pyb_step_fleet(pos, quat, vel, ang_v, rpm, last_rpm, c, dt, n_substeps,
+                   mode="PYB", model=DroneModel.CF2X):
+    """``n_substeps`` substeps under one control action (BaseAviary.py:343-372).
+
+    The drag term of the first substep uses the previous control period's
+    action (``last_rpm``, set at :372 and read at :359); later substeps use the
+    current one. Returns the new kinematics plus the carried last action.
+    """
+    flags = _PYB_MODE_FLAGS[mode]
+    last = np.array(last_rpm, dtype=np.float64)
+    for _ in range(n_substeps):
+        pos, quat, vel, ang_v = pyb_substep_fleet(
+            pos, quat, vel, ang_v, rpm, last, c, dt, model=model, **flags)
+        last = np.array(rpm, dtype=np.float64)
+    return pos, quat, vel, ang_v, last
+
+
 class DSLPIDOracle:
     """Reference DSL PID (DSLPIDControl.py), float64, single drone."""
 

@@ -1,0 +1,137 @@
+"""Drone-drone and drone-obstacle contact as pure, batched tensor ops.
+
+The reference gets collision handling for free from Bullet's sequential-impulse
+LCP solver (world loaded at BaseAviary.py:484-505; the four RL landmarks are
+*physical* bodies, BaseRLAviary._addObstacles :99-128). This module is the
+TPU-native replacement: a **simultaneous (Jacobi) projection** contact model
+resolved inside the fused physics substep —
+
+  * drones are collision spheres of radius ``collision_r`` (the reference
+    URDF's collision cylinder radius, cf2x.urdf:31-36 — the sphere
+    circumscribes the cylinder footprint, the conservative choice for a
+    quadrotor's prop disc);
+  * obstacles are static spheres (positions from BaseRLAviary.py:108-126 at
+    z=0.1; radii matched to the ray-cast landmarks in render/camera.py so the
+    physical and visual worlds agree);
+  * contacts are inelastic (restitution 0, Bullet's URDF default) and
+    frictionless in the tangent plane.
+
+Per overlapping pair the resolve (i) separates the bodies along the contact
+normal (drones split the penetration; static obstacles push the drone out
+fully) and (ii) removes the *approaching* relative normal velocity (equal-mass
+split for drone pairs).
+
+Deviation from Bullet (see docs/PYB_DERIVATION.md §5 for the framework): the
+Jacobi projection resolves all pairs simultaneously once per substep, where
+Bullet iterates impulses sequentially until convergence. For isolated binary
+contacts the two are identical to round-off. For contact *chains* (3+ mutually
+touching spheres) one Jacobi pass under-corrects; the 240 Hz substep rate
+supplies the missing iterations, bounding residual penetration by one
+substep's relative travel (|v_rel|·dt ≈ 2 mm at 0.5 m/s). Positional pushout
+is capped at ``max_push`` per substep (Bullet's Baumgarte `erp` plays the same
+role) to keep deep-overlap spawns from exploding.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class ObstacleSet:
+    """Static collision spheres: centers (M, 3), radii (M,)."""
+
+    pos: jax.Array
+    radius: jax.Array
+
+
+# The four RL landmarks (block/cube_small/duck_vhacd/teddy_vhacd,
+# BaseRLAviary.py:108-126) as spheres; radii match render/camera._LANDMARK_R.
+_RL_OBSTACLE_POS = np.array([
+    [1.0, 0.0, 0.1], [0.0, 1.0, 0.1], [-1.0, 0.0, 0.1], [0.0, -1.0, 0.1],
+])
+_RL_OBSTACLE_R = np.array([0.1, 0.05, 0.12, 0.15])
+
+
+def rl_obstacles(dtype=jnp.float32) -> ObstacleSet:
+    return ObstacleSet(
+        pos=jnp.asarray(_RL_OBSTACLE_POS, dtype=dtype),
+        radius=jnp.asarray(_RL_OBSTACLE_R, dtype=dtype),
+    )
+
+
+def resolve_drone_collisions(pos, vel, radius, *, max_push=0.01,
+                             other_pos=None, other_vel=None):
+    """One Jacobi contact-projection pass over all drone pairs.
+
+    pos, vel: (..., N, 3); radius: scalar collision-sphere radius.
+    Returns corrected (pos, vel).
+
+    ``other_pos``/``other_vel`` optionally supply a *different* source set
+    (..., M, 3) — used by the sharded swarm path where the partners are the
+    all-gathered global fleet; the self-pair is masked by zero-distance.
+    """
+    src_pos = pos if other_pos is None else other_pos
+    src_vel = vel if other_vel is None else other_vel
+    delta = pos[..., :, None, :] - src_pos[..., None, :, :]  # (..., N, M, 3)
+    dist = jnp.linalg.norm(delta, axis=-1)  # (..., N, M)
+    min_dist = 2.0 * radius
+    # Mask: true contact pairs (exclude self / coincident partners).
+    eps = jnp.asarray(1e-9, dtype=pos.dtype)
+    overlap = jnp.where((dist < min_dist) & (dist > eps), min_dist - dist, 0.0)
+    safe_dist = jnp.maximum(dist, eps)
+    normal = delta / safe_dist[..., None]  # points from partner j toward i
+
+    # (i) positional separation: each drone of the pair takes half the
+    # penetration; per-substep pushout capped (Baumgarte-style).
+    push = jnp.minimum(0.5 * overlap, max_push)
+    pos_corr = jnp.sum(push[..., None] * normal, axis=-2)
+
+    # (ii) inelastic normal impulse: remove the approaching half of the
+    # relative normal velocity (equal masses -> each corrects half).
+    v_rel = vel[..., :, None, :] - src_vel[..., None, :, :]
+    vn = jnp.sum(v_rel * normal, axis=-1)  # < 0 when approaching
+    approaching = jnp.where((overlap > 0.0) & (vn < 0.0), vn, 0.0)
+    vel_corr = jnp.sum((-0.5 * approaching)[..., None] * normal, axis=-2)
+
+    return pos + pos_corr, vel + vel_corr
+
+
+def resolve_obstacle_collisions(pos, vel, radius, obstacles: ObstacleSet, *,
+                                max_push=0.01):
+    """Drone spheres vs static obstacle spheres: full pushout, normal-velocity
+    kill (infinite obstacle mass). pos, vel: (..., N, 3)."""
+    delta = pos[..., :, None, :] - obstacles.pos  # (..., N, M, 3)
+    dist = jnp.linalg.norm(delta, axis=-1)
+    min_dist = radius + obstacles.radius  # (M,) broadcast over (..., N, M)
+    eps = jnp.asarray(1e-9, dtype=pos.dtype)
+    overlap = jnp.where((dist < min_dist) & (dist > eps), min_dist - dist, 0.0)
+    safe_dist = jnp.maximum(dist, eps)
+    normal = delta / safe_dist[..., None]  # away from obstacle center
+
+    push = jnp.minimum(overlap, max_push)
+    pos_corr = jnp.sum(push[..., None] * normal, axis=-2)
+
+    vn = jnp.sum(vel[..., :, None, :] * normal, axis=-1)
+    approaching = jnp.where((overlap > 0.0) & (vn < 0.0), vn, 0.0)
+    vel_corr = jnp.sum((-approaching)[..., None] * normal, axis=-2)
+
+    return pos + pos_corr, vel + vel_corr
+
+
+def resolve_collisions(pos, vel, radius,
+                       obstacles: Optional[ObstacleSet] = None, *,
+                       drone_drone: bool = True, max_push=0.01,
+                       other_pos=None, other_vel=None):
+    """Full contact pass: drone-drone pairs then static obstacles."""
+    if drone_drone:
+        pos, vel = resolve_drone_collisions(
+            pos, vel, radius, max_push=max_push,
+            other_pos=other_pos, other_vel=other_vel)
+    if obstacles is not None:
+        pos, vel = resolve_obstacle_collisions(
+            pos, vel, radius, obstacles, max_push=max_push)
+    return pos, vel

@@ -119,6 +119,8 @@ def substep_pyb(
     contact: bool = True,
     renormalize_quat: bool = True,
     dw_src_pos=None,
+    collide: bool = False,
+    obstacles=None,
 ) -> KinState:
     """One PyBullet-compatible substep with optional aero terms.
 
@@ -183,6 +185,15 @@ def substep_pyb(
         pressed = below & (accel[..., 2] <= 0.0)
         new_ang_v = jnp.where(pressed[..., None], 0.0, new_ang_v)
 
+    if collide or obstacles is not None:
+        # Drone-drone / drone-obstacle contact (Bullet resolves these inside
+        # stepSimulation; here a Jacobi projection pass, core/collisions.py).
+        from gym_pybullet_drones_tpu.core.collisions import resolve_collisions
+
+        new_pos, new_vel = resolve_collisions(
+            new_pos, new_vel, params.collision_r, obstacles,
+            drone_drone=collide)
+
     new_rpy_rates = jnp.einsum("...ji,...j->...i", quat_to_matrix(new_quat), new_ang_v)
     return KinState(pos=new_pos, quat=new_quat, vel=new_vel, ang_v=new_ang_v,
                     rpy_rates=new_rpy_rates)
@@ -207,6 +218,8 @@ def step_physics(
     physics: Physics,
     *,
     renormalize_quat: bool = True,
+    collisions: bool = False,
+    obstacles=None,
 ) -> tuple[KinState, jax.Array]:
     """Advance ``n_substeps`` physics substeps under one control action.
 
@@ -219,6 +232,8 @@ def step_physics(
     substep loop is unrolled for XLA fusion (n is 1-8 in practice).
     """
     if physics == Physics.DYN:
+        # DYN mode never runs Bullet's world step in the reference
+        # (BaseAviary._dynamics bypasses stepSimulation), so no contact there.
         for _ in range(n_substeps):
             state = substep_dyn(state, rpm, params, dt)
             if renormalize_quat:
@@ -228,7 +243,9 @@ def step_physics(
     for _ in range(n_substeps):
         state = substep_pyb(
             state, rpm, last_rpm, params, dt,
-            renormalize_quat=renormalize_quat, **flags,
+            renormalize_quat=renormalize_quat,
+            collide=collisions and state.pos.shape[-2] > 1,
+            obstacles=obstacles, **flags,
         )
         last_rpm = rpm
     return state, rpm

@@ -75,6 +75,13 @@ class AviaryConfig:
     initial_xyzs: Optional[tuple] = None
     initial_rpys: Optional[tuple] = None
     dtype: str = "float32"
+    # Contact physics beyond the ground plane (core/collisions.py): drone-drone
+    # sphere contact, plus the four RL landmark obstacles as static bodies when
+    # obs_type is RGB (the reference loads them physically only then,
+    # BaseRLAviary._addObstacles :99-128). Off by default: the reference's
+    # *default* spawn grid and tasks never collide, and Bullet-parity of
+    # non-contact trajectories is bit-exact only without the extra pass.
+    collisions: bool = False
     # Renormalize quaternions every substep. The reference's DYN pipeline never
     # does (BaseAviary._integrateQ is norm-preserving only in exact arithmetic),
     # so parity tests disable this; float32 production runs keep it on.
@@ -378,9 +385,15 @@ def step(
         buf = jnp.concatenate([state.action_buffer[1:], action[None]], axis=0)
         state = state.replace(action_buffer=buf)
     rpm, new_ctrl = preprocess_action(cfg, params, ctrl_params, state, action)
+    obstacles = None
+    if cfg.collisions and cfg.obs_type == ObservationType.RGB:
+        from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
+
+        obstacles = rl_obstacles(cfg.jnp_dtype)
     kin, last_rpm = step_physics(
         state.kin, rpm, state.last_rpm, params, cfg.pyb_timestep,
         cfg.steps_per_ctrl, cfg.physics, renormalize_quat=cfg.renormalize_quat,
+        collisions=cfg.collisions, obstacles=obstacles,
     )
     state = state.replace(
         kin=kin,

@@ -87,6 +87,12 @@ class CFAviary(BaseAviaryEnv):
         return obs, info
 
     def _initialize_firmware(self, init_obs):
+        # Per-instance firmware state: every CFAviary owns an opaque context in
+        # the native library, activated around each call burst, so two live
+        # envs never corrupt each other's integrators/planner.
+        if not hasattr(self, "_firm_ctx") or self._firm_ctx._handle is None:
+            self._firm_ctx = firm.FirmwareContext()
+        self._firm_ctx.activate()
         self.states = []
         self.takeoff_sent = False
         self.acclpf = [firm.lpf2pData() for _ in range(3)]
@@ -131,6 +137,7 @@ class CFAviary(BaseAviaryEnv):
         """Advance to sim time (i+1)/ctrl_freq, ticking the firmware
         (CFAviary.step, :187-261). Returns the usual 5-tuple."""
         t = i / self.ctrl_freq
+        self._firm_ctx.activate()
         self._process_command_queue(t)
 
         obs = reward = terminated = truncated = info = None
@@ -360,3 +367,9 @@ class CFAviary(BaseAviaryEnv):
     def _notifySetpointStop(self):
         firm.crtpCommanderHighLevelTellState(self.state)
         self.full_state_cmd_override = False
+
+    def close(self):
+        """Release the native firmware context (safe to call repeatedly)."""
+        if hasattr(self, "_firm_ctx"):
+            self._firm_ctx.close()
+        super().close()

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from gym_pybullet_drones_tpu.core.collisions import resolve_drone_collisions
 from gym_pybullet_drones_tpu.core.dynamics import _PYB_FLAGS, KinState, substep_pyb
 from gym_pybullet_drones_tpu.core.params import DroneParams
 from gym_pybullet_drones_tpu.envs.spec import Physics
@@ -29,13 +30,17 @@ from gym_pybullet_drones_tpu.envs.spec import Physics
 def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
                                n_substeps: int,
                                physics: Physics = Physics.PYB_DW,
-                               axis: str = "env"):
+                               axis: str = "env",
+                               collisions: bool = False):
     """Build `step(kin, rpm, last_rpm) -> (kin, last_rpm)` where every leaf's
     leading drone axis is sharded over `mesh` and downwash couples shards.
 
     Matches `core.dynamics.step_physics` for the PYB modes (incl. the
     previous-action drag quirk); `Physics.DYN` has no cross-drone terms, so
-    use the plain sharded env path for it.
+    use the plain sharded env path for it. With ``collisions`` the drone-drone
+    sphere contact (core/collisions.py) also couples shards: each shard
+    resolves its slab against the all-gathered global fleet (positions +
+    velocities ride the same ICI collective as the wake sources).
     """
     flags = dict(_PYB_FLAGS[physics])
     use_dw = flags.pop("dw")
@@ -46,6 +51,16 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
                       if use_dw else None)
             kin = substep_pyb(kin, rpm, last_rpm, params, dt,
                               dw=use_dw, dw_src_pos=dw_src, **flags)
+            if collisions:
+                # Contact resolves on *post-integration* kinematics (same
+                # order as the dense substep_pyb): gather the stepped fleet,
+                # then project the local slab against it.
+                gpos = jax.lax.all_gather(kin.pos, axis, axis=0, tiled=True)
+                gvel = jax.lax.all_gather(kin.vel, axis, axis=0, tiled=True)
+                new_pos, new_vel = resolve_drone_collisions(
+                    kin.pos, kin.vel, params.collision_r,
+                    other_pos=gpos, other_vel=gvel)
+                kin = kin.replace(pos=new_pos, vel=new_vel)
             last_rpm = rpm
         return kin, last_rpm
 
@@ -66,21 +81,29 @@ def shard_swarm_kin(mesh: Mesh, kin: KinState, axis: str = "env") -> KinState:
 
 
 def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
-                           physics: Physics = Physics.PYB_DW):
-    """Single-device large-swarm step using the tiled Pallas downwash.
+                           physics: Physics = Physics.PYB_DW,
+                           collisions: bool = False,
+                           interpret: bool = False):
+    """Single-device large-swarm step using the tiled Pallas pair kernels.
 
     The dense all-pairs downwash in `substep_pyb` materializes (N, N)
     intermediates — fine to ~8k drones, prohibitive beyond. This variant
     computes the wake sum with `ops/downwash_pallas` (O(N) memory, measured
     70 Gpairs/s at 65k drones) and feeds it into the same substep pipeline
     via a zero-extra-cost trick: the substep's own dw term is disabled and
-    the Pallas force is injected as a body-z force alongside.
+    the Pallas force is injected as a body-z force alongside. With
+    ``collisions`` the drone-drone contact resolve runs through the analogous
+    tiled kernel (`ops/collide_pallas`) after each substep — same order as
+    the dense pipeline. ``interpret`` runs the Pallas kernels in interpreter
+    mode (CPU tests).
     """
+    from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
     from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
 
     flags = dict(_PYB_FLAGS[physics])
     use_dw = flags.pop("dw")
-    dw_fn = make_downwash_pallas(params) if use_dw else None
+    dw_fn = make_downwash_pallas(params, interpret=interpret) if use_dw else None
+    collide_fn = make_collide_pallas(params, interpret=interpret) if collisions else None
 
     @jax.jit
     def step(kin: KinState, rpm, last_rpm):
@@ -99,6 +122,9 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
                 kin = kin.replace(vel=kin.vel + dv)
             kin = substep_pyb(kin, rpm, last_rpm, params, dt,
                               dw=False, **flags)
+            if collide_fn is not None:
+                new_pos, new_vel = collide_fn(kin.pos, kin.vel)
+                kin = kin.replace(pos=new_pos, vel=new_vel)
             last_rpm = rpm
         return kin, last_rpm
 

@@ -1,0 +1,66 @@
+"""Coupled-swarm throughput with contact physics enabled (VERDICT r1 item #2).
+
+Measures `runtime/swarm.make_big_swarm_physics` (PYB_DW + 5 substeps, tiled
+Pallas downwash + tiled Pallas drone-drone contact) at N drones on one chip,
+with a lax.scan chunk per dispatch. Prints drone-steps/s for collisions
+on/off. Run on the real TPU: `python scripts/collide_bench.py [N] [CHUNK]`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.core.dynamics import init_kin_state
+from gym_pybullet_drones_tpu.core.params import drone_params
+from gym_pybullet_drones_tpu.envs.spec import DroneModel, Physics
+from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    params = drone_params(DroneModel.CF2X)
+    rng = np.random.default_rng(0)
+    side = int(round(n ** (1 / 3))) + 1
+    g = np.stack(np.meshgrid(*[np.arange(side) * 0.5] * 3), -1).reshape(-1, 3)[:n]
+    pos = jnp.asarray((g + rng.uniform(-0.1, 0.1, g.shape) + [0, 0, 1.0])
+                      .astype(np.float32))
+    kin = init_kin_state(pos, jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
+
+    for collisions in (False, True):
+        step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
+                                      collisions=collisions)
+
+        @jax.jit
+        def run_chunk(kin, rpm):
+            def body(carry, _):
+                kin, last = carry
+                kin, last = step(kin, rpm, last)
+                return (kin, last), None
+            (kin, last), _ = jax.lax.scan(body, (kin, rpm), None, length=chunk)
+            return kin
+
+        out = run_chunk(kin, rpm)
+        jax.block_until_ready(out)
+        best = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run_chunk(kin, rpm)
+            jax.block_until_ready(out)
+            dt_s = time.perf_counter() - t0
+            best = max(best, n * chunk / dt_s)
+        print(f"collisions={collisions}: {best:,.0f} drone-steps/s "
+              f"({best / chunk / n * chunk:,.0f}) at N={n}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

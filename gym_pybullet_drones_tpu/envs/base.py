@@ -129,6 +129,14 @@ class AviaryConfig:
             return 20
         return 12 + self.action_buffer_size * self.action_dim
 
+    @property
+    def img_capture_freq(self) -> int:
+        """Physics substeps between onboard-camera captures: the reference
+        grabs frames at 24 FPS of sim time and HOLDS them in between
+        (IMG_FRAME_PER_SEC/IMG_CAPTURE_FREQ, BaseAviary.py:135-136;
+        capture gate BaseRLAviary.py:294)."""
+        return int(self.pyb_freq / 24)
+
 
 @struct.dataclass
 class AviaryState:
@@ -139,6 +147,10 @@ class AviaryState:
     ctrl: DSLPIDState  # (N, 3) leaves; zeros when unused
     action_buffer: jax.Array  # (B, N, A) raw actions, oldest first; B may be 0
     step_count: jax.Array  # int32 scalar, counts pyb substeps (BaseAviary.py:382)
+    # Held onboard-camera frames (N, 48, 64, 4) uint8, refreshed every
+    # `img_capture_freq` substeps and held in between (BaseRLAviary.py:293-306);
+    # shape (0,) for non-RGB configs.
+    rgb_frames: jax.Array
 
 
 def default_init_xyzs(cfg: AviaryConfig, params: DroneParams) -> np.ndarray:
@@ -174,6 +186,14 @@ def _initial_pose(cfg: AviaryConfig, params: DroneParams):
     return xyzs, rpys
 
 
+def _render_frames(cfg: AviaryConfig, kin: KinState, params: DroneParams):
+    """Fresh onboard-camera frames (N, 48, 64, 4) uint8."""
+    from gym_pybullet_drones_tpu.render.camera import CameraConfig, render_drone_views
+
+    rgba, _, _ = render_drone_views(kin.pos, kin.quat, params.arm, CameraConfig())
+    return rgba
+
+
 def reset(cfg: AviaryConfig, params: DroneParams) -> AviaryState:
     """Fresh episode state (reference reset is deterministic, BaseAviary.py:220-255)."""
     dtype = cfg.jnp_dtype
@@ -181,12 +201,18 @@ def reset(cfg: AviaryConfig, params: DroneParams) -> AviaryState:
     quats = euler_xyz_to_quat(jnp.asarray(rpys, dtype=dtype))
     kin = init_kin_state(jnp.asarray(xyzs, dtype=dtype), quats)
     n = cfg.num_drones
+    if cfg.obs_type == ObservationType.RGB:
+        # reset's obs captures immediately (step_counter == 0 passes the gate)
+        rgb_frames = _render_frames(cfg, kin, params)
+    else:
+        rgb_frames = jnp.zeros((0,), dtype=jnp.uint8)
     return AviaryState(
         kin=kin,
         last_rpm=jnp.zeros((n, 4), dtype=dtype),
         ctrl=dsl_pid_reset((n,), dtype=dtype),
         action_buffer=jnp.zeros((cfg.action_buffer_size, n, cfg.action_dim), dtype=dtype),
         step_count=jnp.zeros((), dtype=jnp.int32),
+        rgb_frames=rgb_frames,
     )
 
 
@@ -289,15 +315,11 @@ def compute_obs(cfg: AviaryConfig, state: AviaryState, params: DroneParams = Non
     if cfg.task in (TASK_CTRL, TASK_VELOCITY):
         return drone_state_vector(cfg, state)  # (N, 20)
     if cfg.obs_type == ObservationType.RGB:
-        # Drone-POV RGBA frames (BaseRLAviary._computeObs RGB path, :293-306);
+        # Drone-POV RGBA frames (BaseRLAviary._computeObs RGB path, :293-306),
         # rendered by the on-device ray-caster instead of PyBullet's camera.
-        from gym_pybullet_drones_tpu.render.camera import CameraConfig, render_drone_views
-
-        if params is None:  # fallback for callers without the built pytree
-            params = build_params(cfg)
-        rgba, _, _ = render_drone_views(
-            state.kin.pos, state.kin.quat, params.arm, CameraConfig())
-        return rgba  # (N, 48, 64, 4) uint8
+        # The obs is the HELD frame slot — refreshed in step() only on
+        # img_capture_freq boundaries, exactly the reference's 24 FPS cadence.
+        return state.rgb_frames  # (N, 48, 64, 4) uint8
     # RL KIN obs: 12-dim kinematics + flattened action buffer, oldest first
     # (BaseRLAviary._computeObs, :307-319)
     full = drone_state_vector(cfg, state)
@@ -401,6 +423,20 @@ def step(
         ctrl=new_ctrl,
         step_count=state.step_count + cfg.steps_per_ctrl,
     )
+    if cfg.obs_type == ObservationType.RGB:
+        # Capture gate: the reference checks the PRE-increment step counter
+        # (obs computed at BaseAviary.py:376, counter advanced at :382) but
+        # renders from the post-physics kinematics. Frames are held between
+        # captures; lax.cond skips the renderer on hold steps.
+        pre_count = state.step_count - cfg.steps_per_ctrl
+        capture = (pre_count % cfg.img_capture_freq) == 0
+        frames = jax.lax.cond(
+            capture,
+            lambda kin: _render_frames(cfg, kin, params),
+            lambda kin: state.rgb_frames,
+            kin,
+        )
+        state = state.replace(rgb_frames=frames)
     obs = compute_obs(cfg, state, params)
     reward = compute_reward(cfg, state, target_pos)
     terminated = compute_terminated(cfg, state, target_pos)

@@ -85,3 +85,46 @@ def test_rgb_observation_pipeline(tmp_path):
     export_image(ImageType.DEP, np.asarray(dep)[0], str(tmp_path), 1)
     export_image(ImageType.SEG, np.asarray(seg)[0], str(tmp_path), 2)
     export_image(ImageType.BW, np.asarray(rgba)[0], str(tmp_path), 3)
+
+
+def test_rgb_capture_frequency_holds_frames():
+    """RGB obs refresh only on IMG_CAPTURE_FREQ boundaries and are HELD in
+    between (BaseRLAviary.py:293-306 with the pre-increment counter gate,
+    BaseAviary.py:376-382): at 240 Hz physics / 30 Hz control the capture
+    period is 240/24 = 10 substeps vs 8 substeps per control step, so fresh
+    frames appear on control steps where (8*t) % 40 == 0 -> every 5th."""
+    import jax
+    import jax.numpy as jnp
+    from gym_pybullet_drones_tpu.envs import base as envbase
+    from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_HOVER
+    from gym_pybullet_drones_tpu.envs.spec import (
+        ActionType, ObservationType, Physics,
+    )
+
+    cfg = AviaryConfig(
+        num_drones=1, physics=Physics.PYB, pyb_freq=240, ctrl_freq=30,
+        task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+        obs_type=ObservationType.RGB, action_buffer_size=15,
+    )
+    params = envbase.build_params(cfg)
+    ctrl_params = envbase.build_ctrl_params(cfg)
+    target = envbase.hover_target_pos(cfg, params)
+    state = envbase.reset(cfg, params)
+    obs0 = envbase.compute_obs(cfg, state, params)
+    step = jax.jit(lambda s, a: envbase.step(cfg, params, ctrl_params,
+                                             target, s, a))
+    action = jnp.asarray([[0.4]])  # climb -> the view changes between captures
+    prev = np.asarray(obs0)
+    changes = []
+    for t in range(12):
+        state, obs, *_ = step(state, action)
+        cur = np.asarray(obs)
+        changes.append(bool((cur != prev).any()))
+        prev = cur
+    # pre-increment counters at obs time: 0, 8, 16, ... -> capture (i.e. a
+    # possible change) only at t=0, 5, 10 (counter 0, 40, 80); t=0's capture
+    # re-renders the reset pose so may equal obs0; all other steps MUST hold.
+    for t, changed in enumerate(changes):
+        if t % 5 != 0:
+            assert not changed, f"frame changed on hold step {t}"
+    assert changes[5] and changes[10], "no fresh frame on capture steps"

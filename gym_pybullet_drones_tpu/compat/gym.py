@@ -281,7 +281,18 @@ class BaseAviaryEnv(gym.Env):
             )
 
     def close(self):
-        pass
+        """Finalize a recording: mux the PNG frames into one playable video
+        (the reference's MP4 capture, BaseAviary.py:523-537 — here H.264 MP4
+        via ffmpeg when available, else the built-in MJPEG AVI muxer)."""
+        if self.RECORD and self._record_dir is not None and self._frame_num > 0:
+            from gym_pybullet_drones_tpu.utils.video import png_dir_to_video
+
+            try:
+                out = png_dir_to_video(self._record_dir, fps=24)
+                print(f"[INFO] recording muxed to {out}")
+            except Exception as e:  # frames remain as PNGs either way
+                print(f"[WARNING] video muxing failed ({e}); PNG frames kept")
+            self._record_dir = None
 
     def getDroneIds(self):
         return np.arange(self.NUM_DRONES)

@@ -82,6 +82,12 @@ class AviaryConfig:
     # *default* spawn grid and tasks never collide, and Bullet-parity of
     # non-contact trajectories is bit-exact only without the extra pass.
     collisions: bool = False
+    # RGB frame stacking (SB3 VecFrameStack analogue, channel-wise): the held
+    # frame slot keeps the last K captures as (N, H, W, 4K). K=1 is the
+    # reference's raw single-frame observation (BaseRLAviary.py:293-306); a
+    # single 24 FPS frame carries no velocity information, so pixel-only
+    # training needs K>1 (docs/ROUND1.md RGB finding).
+    frame_stack: int = 1
     # Renormalize quaternions every substep. The reference's DYN pipeline never
     # does (BaseAviary._integrateQ is norm-preserving only in exact arithmetic),
     # so parity tests disable this; float32 production runs keep it on.
@@ -147,10 +153,11 @@ class AviaryState:
     ctrl: DSLPIDState  # (N, 3) leaves; zeros when unused
     action_buffer: jax.Array  # (B, N, A) raw actions, oldest first; B may be 0
     step_count: jax.Array  # int32 scalar, counts pyb substeps (BaseAviary.py:382)
-    # Held onboard-camera frames (N, 48, 64, 4) uint8, refreshed every
-    # `img_capture_freq` substeps and held in between (BaseRLAviary.py:293-306);
-    # shape (0,) for non-RGB configs.
-    rgb_frames: jax.Array
+    # Held onboard-camera frames (N, 48, 64, 4*frame_stack) uint8, refreshed
+    # every `img_capture_freq` substeps and held in between
+    # (BaseRLAviary.py:293-306); None for non-RGB configs (absent pytree leaf —
+    # a zero-sized array here would alias under buffer donation).
+    rgb_frames: Optional[jax.Array] = None
 
 
 def default_init_xyzs(cfg: AviaryConfig, params: DroneParams) -> np.ndarray:
@@ -202,10 +209,12 @@ def reset(cfg: AviaryConfig, params: DroneParams) -> AviaryState:
     kin = init_kin_state(jnp.asarray(xyzs, dtype=dtype), quats)
     n = cfg.num_drones
     if cfg.obs_type == ObservationType.RGB:
-        # reset's obs captures immediately (step_counter == 0 passes the gate)
-        rgb_frames = _render_frames(cfg, kin, params)
+        # reset's obs captures immediately (step_counter == 0 passes the gate);
+        # a K-stack starts with the first capture repeated K times.
+        rgb_frames = jnp.tile(_render_frames(cfg, kin, params),
+                              (1, 1, 1, cfg.frame_stack))
     else:
-        rgb_frames = jnp.zeros((0,), dtype=jnp.uint8)
+        rgb_frames = None
     return AviaryState(
         kin=kin,
         last_rpm=jnp.zeros((n, 4), dtype=dtype),
@@ -430,12 +439,15 @@ def step(
         # captures; lax.cond skips the renderer on hold steps.
         pre_count = state.step_count - cfg.steps_per_ctrl
         capture = (pre_count % cfg.img_capture_freq) == 0
-        frames = jax.lax.cond(
-            capture,
-            lambda kin: _render_frames(cfg, kin, params),
-            lambda kin: state.rgb_frames,
-            kin,
-        )
+
+        def _fresh(kin):
+            new = _render_frames(cfg, kin, params)
+            if cfg.frame_stack == 1:
+                return new
+            # channel-wise ring: drop the oldest capture, append the newest
+            return jnp.concatenate([state.rgb_frames[..., 4:], new], axis=-1)
+
+        frames = jax.lax.cond(capture, _fresh, lambda kin: state.rgb_frames, kin)
         state = state.replace(rgb_frames=frames)
     obs = compute_obs(cfg, state, params)
     reward = compute_reward(cfg, state, target_pos)

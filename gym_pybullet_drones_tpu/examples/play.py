@@ -29,6 +29,7 @@ def play(
     act=ActionType.ONE_D_RPM,
     duration_sec=8,
     colab=False,
+    animate=False,
 ):
     if model_path is None:
         model_path = os.path.join(output_folder, "best_model.msgpack")
@@ -52,6 +53,15 @@ def play(
     logger.log_trajectory(np.asarray(states))
     if plot:
         logger.plot()
+    if animate:
+        # 3-D third-person flight animation (the GUI/video stand-in; the
+        # reference shows the replay in the PyBullet GUI, play.py:40-76)
+        from gym_pybullet_drones_tpu.utils.viz import animate_trajectory
+
+        out = animate_trajectory(
+            logger, os.path.join(output_folder, "replay.gif"),
+            fps=env_cfg.ctrl_freq // 2)
+        print(f"[INFO] replay animation saved to {out}")
     return float(np.asarray(rewards).sum())
 
 
@@ -61,4 +71,5 @@ if __name__ == "__main__":
     parser.add_argument("--multiagent", default=False, type=str2bool)
     parser.add_argument("--plot", default=True, type=str2bool)
     parser.add_argument("--output_folder", default=DEFAULT_OUTPUT_FOLDER, type=str)
+    parser.add_argument("--animate", default=False, type=str2bool)
     play(**vars(parser.parse_args()))

@@ -119,6 +119,15 @@ class PPOConfig:
     minibatch_size: int = 64
     hidden: tuple = (64, 64)
     log_std_init: float = 0.0  # initial Gaussian log-std (SB3 default 0.0)
+    # Exploration-noise annealing: cap the learned log_std from above along a
+    # linear schedule log_std_init -> log_std_anneal_to over
+    # log_std_anneal_updates updates (None disables). Shrinks the gap between
+    # the stochastic training policy and the deterministic eval policy —
+    # policies otherwise learn to lean on action noise for attitude dither
+    # (docs/ROUND1.md, 4-dim RPM finding) and fall over when the noise is
+    # removed at eval time.
+    log_std_anneal_to: Optional[float] = None
+    log_std_anneal_updates: int = 1
 
     @property
     def batch_size(self) -> int:
@@ -171,7 +180,9 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
         network = CnnActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden,
                                  log_std_init=ppo_cfg.log_std_init)
         params = network.init(
-            init_key, jnp.zeros((1, env_cfg.num_drones, 48, 64, 4), jnp.uint8))
+            init_key,
+            jnp.zeros((1, env_cfg.num_drones, 48, 64, 4 * env_cfg.frame_stack),
+                      jnp.uint8))
     else:
         network = ActorCritic(action_dim=act_dim, hidden=ppo_cfg.hidden,
                               log_std_init=ppo_cfg.log_std_init)
@@ -184,6 +195,10 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
     opt_state = tx.init(params)
     env_state = batch_reset(env_cfg, params_env, ppo_cfg.num_envs)
     obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
+    # For RGB configs compute_obs returns the held-frame slot ITSELF
+    # (env_state.rgb_frames) — copy so the donated train step doesn't see the
+    # same buffer twice (runner.obs and runner.env_state alias otherwise).
+    obs = jnp.array(obs)
     runner = PPORunnerState(
         params=params, opt_state=opt_state, env_state=env_state,
         obs=obs, rng=rng, update_count=jnp.zeros((), jnp.int32),
@@ -306,6 +321,15 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         (params, opt_state), losses = jax.lax.scan(
             epoch_body, (runner.params, runner.opt_state), epoch_keys
         )
+        if ppo_cfg.log_std_anneal_to is not None:
+            frac = jnp.minimum(
+                1.0, (runner.update_count + 1.0)
+                / max(1, ppo_cfg.log_std_anneal_updates))
+            cap = ppo_cfg.log_std_init + (
+                ppo_cfg.log_std_anneal_to - ppo_cfg.log_std_init) * frac
+            ls = jnp.minimum(params["params"]["log_std"], cap)
+            params = {**params,
+                      "params": {**params["params"], "log_std": ls}}
         metrics = dict(
             loss=losses.mean(),
             mean_reward=raw_rewards.mean(),  # env reward, without bootstrap

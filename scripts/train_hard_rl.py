@@ -1,0 +1,121 @@
+"""Training experiments for the two unsolved learn.py configurations
+(VERDICT round-1 items #3 and #4).
+
+  rpm4  — HoverAviary, KIN obs, 4-dim ActionType.RPM, threshold 467
+          (reference learn.py:82). Round-1 best deterministic eval was 271:
+          the stochastic policy leaned on action noise for attitude dither.
+          Fix under test: log-std annealing (PPOConfig.log_std_anneal_to).
+  rgb   — HoverAviary, RGB obs (held 24 FPS frames), ONE_D_RPM, threshold 474
+          (learn.py:79-80). A single frame carries no velocity info; fix
+          under test: channel-wise frame stacking (AviaryConfig.frame_stack).
+
+Writes progress (flushed) + best params msgpack to results/.
+Run on the TPU chip: python scripts/train_hard_rl.py rpm4 [--steps 3e7]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+
+# The container's sitecustomize pins the axon TPU plugin and ignores the
+# JAX_PLATFORMS env var; honor it at config level (CLAUDE.md quirk).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+
+from flax import serialization
+
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_HOVER
+from gym_pybullet_drones_tpu.envs.spec import ActionType, ObservationType
+from gym_pybullet_drones_tpu.rl.ppo import (
+    PPOConfig,
+    evaluate_policy,
+    make_ppo_train_step,
+    ppo_init,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("case", choices=["rpm4", "rgb"])
+    ap.add_argument("--steps", type=float, default=None)
+    ap.add_argument("--num_envs", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--anneal_to", type=float, default=-2.5)
+    ap.add_argument("--anneal_frac", type=float, default=0.6)
+    ap.add_argument("--frame_stack", type=int, default=4)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--out", default="results")
+    args = ap.parse_args()
+    os.makedirs(args.out, exist_ok=True)
+
+    if args.case == "rpm4":
+        env_cfg = AviaryConfig(
+            num_drones=1, task=TASK_HOVER, action_type=ActionType.RPM,
+            obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+            action_buffer_size=15, episode_len_sec=8.0,
+        )
+        threshold = 467.0
+        total = int(args.steps or 3e7)
+        num_envs = args.num_envs or 128
+    else:
+        env_cfg = AviaryConfig(
+            num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+            obs_type=ObservationType.RGB, pyb_freq=240, ctrl_freq=30,
+            action_buffer_size=15, episode_len_sec=8.0,
+            frame_stack=args.frame_stack,
+        )
+        threshold = 474.0
+        total = int(args.steps or 3e6)
+        num_envs = args.num_envs or 64
+
+    updates = max(1, total // (num_envs * 128))
+    ppo_cfg = PPOConfig(
+        num_envs=num_envs, n_steps=128, minibatch_size=1024,
+        learning_rate=args.lr,
+        log_std_anneal_to=(args.anneal_to if args.case == "rpm4" else None),
+        log_std_anneal_updates=int(updates * args.anneal_frac),
+    )
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(args.seed))
+    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux),
+                    donate_argnums=(0,))
+
+    eval_every = max(1, updates // 60)
+    best, best_params = -np.inf, runner.params
+    t0 = time.time()
+    print(f"[cfg] case={args.case} total={total} updates={updates} "
+          f"num_envs={num_envs} anneal_to={ppo_cfg.log_std_anneal_to} "
+          f"anneal_updates={ppo_cfg.log_std_anneal_updates}", flush=True)
+    for u in range(updates):
+        runner, metrics = train(runner)
+        if (u + 1) % eval_every == 0 or u == updates - 1:
+            ret, n_eps = evaluate_policy(env_cfg, aux, runner.params,
+                                         num_steps=260, num_envs=4)
+            ls = np.asarray(runner.params["params"]["log_std"]).mean()
+            print(f"[{time.time()-t0:7.1f}s] upd {u+1}/{updates} "
+                  f"steps {(u+1)*ppo_cfg.batch_size/1e6:.2f}M "
+                  f"eval {ret:.1f} ({n_eps} eps) "
+                  f"train r/step {float(metrics['mean_reward']):.3f} "
+                  f"log_std {ls:.2f}", flush=True)
+            if ret > best:
+                best, best_params = ret, jax.device_get(runner.params)
+                with open(os.path.join(
+                        args.out, f"best_{args.case}.msgpack"), "wb") as f:
+                    f.write(serialization.to_bytes(best_params))
+            if ret >= threshold:
+                print(f"[SOLVED] {ret:.1f} >= {threshold}", flush=True)
+                break
+    ret, n_eps = evaluate_policy(env_cfg, aux, best_params,
+                                 num_steps=260 * 10, num_envs=1)
+    print(f"[FINAL] best-checkpoint deterministic eval {ret:.2f} "
+          f"over {n_eps} episodes (threshold {threshold})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

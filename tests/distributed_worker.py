@@ -1,0 +1,120 @@
+"""Worker process for the true multi-process jax.distributed test
+(tests/test_distributed.py; VERDICT round-1 item #6).
+
+Each of 2 processes contributes 2 virtual CPU devices -> a global 4-device
+('host', 'env') mesh spanning the process boundary. The worker then
+
+  1. runs the sharded interacting-swarm physics (PYB_DW: the downwash
+     all_gather crosses processes over the distributed backend),
+  2. runs ONE full PPO train step with the env axis of the runner state
+     sharded over the global mesh (params/opt replicated, gradients
+     psum-reduced by XLA's SPMD partitioner),
+
+and writes digests of both results to a JSON file for the parent to compare
+across workers (must match exactly — same program, same global data).
+
+Usage: python distributed_worker.py <proc_id> <num_procs> <port> <out.json>
+"""
+
+import json
+import os
+import sys
+
+proc_id, num_procs, port, out_path = (
+    int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+
+os.environ["XLA_FLAGS"] = (
+    "--xla_force_host_platform_device_count=2 "
+    + os.environ.get("XLA_FLAGS", ""))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+jax.distributed.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=num_procs,
+    process_id=proc_id,
+)
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: E402
+
+assert len(jax.devices()) == 2 * num_procs, jax.devices()
+assert len(jax.local_devices()) == 2
+
+from gym_pybullet_drones_tpu.core.dynamics import init_kin_state  # noqa: E402
+from gym_pybullet_drones_tpu.core.params import drone_params  # noqa: E402
+from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_HOVER  # noqa: E402
+from gym_pybullet_drones_tpu.envs.spec import (  # noqa: E402
+    ActionType, DroneModel, ObservationType, Physics,
+)
+from gym_pybullet_drones_tpu.runtime.swarm import (  # noqa: E402
+    make_sharded_swarm_physics,
+)
+
+results = {}
+
+# ---- 1. cross-process sharded swarm (downwash all_gather over 2 processes)
+devices = np.asarray(jax.devices()).reshape(2 * num_procs)
+mesh = Mesh(devices, ("env",))
+params = drone_params(DroneModel.CF2X)
+n = 16
+rng = np.random.default_rng(0)
+pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+pos[:, 2] += 1.0
+kin = init_kin_state(jnp.asarray(pos), jnp.tile(
+    jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
+
+sh = NamedSharding(mesh, P("env"))
+kin_sh = jax.tree.map(lambda x: jax.device_put(x, sh), kin)
+rpm_sh = jax.device_put(rpm, sh)
+step = make_sharded_swarm_physics(mesh, params, 1 / 240, 5, Physics.PYB_DW,
+                                  collisions=True)
+out_kin, _ = step(kin_sh, rpm_sh, rpm_sh)
+gpos = np.asarray(jax.device_get(
+    jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))(out_kin.pos)))
+results["swarm_pos_sum"] = float(np.sum(gpos))
+results["swarm_pos_digest"] = [float(v) for v in gpos.reshape(-1)[:8]]
+
+# ---- 2. one PPO train step, env axis sharded over the global mesh
+from gym_pybullet_drones_tpu.rl.ppo import (  # noqa: E402
+    PPOConfig, make_ppo_train_step, ppo_init,
+)
+
+env_cfg = AviaryConfig(num_drones=1, task=TASK_HOVER,
+                       action_type=ActionType.ONE_D_RPM,
+                       obs_type=ObservationType.KIN, pyb_freq=240,
+                       ctrl_freq=30, action_buffer_size=15)
+ppo_cfg = PPOConfig(num_envs=8, n_steps=16, minibatch_size=32)
+runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(0))
+
+repl = NamedSharding(mesh, P())
+env_sh = NamedSharding(mesh, P("env"))
+# device_put cannot place host arrays onto non-addressable (multi-process)
+# shardings; a jitted identity with out_shardings does the global placement.
+shard_tree = runner.replace(
+    params=jax.tree.map(lambda _: repl, runner.params),
+    opt_state=jax.tree.map(lambda _: repl, runner.opt_state),
+    env_state=jax.tree.map(lambda _: env_sh, runner.env_state),
+    obs=env_sh,
+    rng=repl,
+    update_count=repl,
+)
+runner = jax.jit(lambda r: r, out_shardings=shard_tree)(runner)
+train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux))
+runner2, metrics = train(runner)
+loss = float(jax.device_get(metrics["loss"]))
+mr = float(jax.device_get(metrics["mean_reward"]))
+lw = np.asarray(jax.device_get(jax.tree.leaves(runner2.params)[0]))
+results["ppo_loss"] = loss
+results["ppo_mean_reward"] = mr
+results["ppo_param_digest"] = float(np.sum(lw))
+results["num_global_devices"] = len(jax.devices())
+results["process_id"] = proc_id
+
+with open(out_path, "w") as f:
+    json.dump(results, f)
+print("worker", proc_id, "done", flush=True)

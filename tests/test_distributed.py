@@ -1,0 +1,94 @@
+"""TRUE multi-process distributed execution (VERDICT round-1 item #6).
+
+Spawns 2 local worker processes that `jax.distributed.initialize` against a
+localhost coordinator (CPU backend, 2 virtual devices each -> one global
+4-device mesh spanning the process boundary), then:
+
+  * sharded interacting-swarm physics — the downwash/contact all_gather
+    rides the distributed backend between processes;
+  * one full PPO train step with the env axis sharded over the global mesh.
+
+Both workers must produce identical digests (same SPMD program over the same
+global data), and the swarm result must agree with a single-process run of
+the same program (reduction-order tolerance).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_swarm_and_ppo(tmp_path):
+    port = _free_port()
+    outs = [str(tmp_path / f"w{i}.json") for i in range(2)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # workers set their own device count
+    env["JAX_PLATFORMS"] = ""
+    env["PYTHONPATH"] = (os.path.dirname(HERE)
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_worker.py"),
+             str(i), "2", str(port), outs[i]],
+            env=env, cwd=os.path.dirname(HERE),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    r0 = json.load(open(outs[0]))
+    r1 = json.load(open(outs[1]))
+    assert r0["num_global_devices"] == 4
+    assert r1["process_id"] == 1
+    # Identical SPMD program + identical global data -> identical results
+    assert r0["swarm_pos_digest"] == r1["swarm_pos_digest"]
+    assert r0["ppo_loss"] == r1["ppo_loss"]
+    assert r0["ppo_param_digest"] == r1["ppo_param_digest"]
+
+    # Cross-check the swarm against a single-process dense run (this pytest
+    # process has its own 8-device CPU config from conftest)
+    import jax
+    import jax.numpy as jnp
+
+    from gym_pybullet_drones_tpu.core.dynamics import (
+        init_kin_state, step_physics,
+    )
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel, Physics
+
+    params = drone_params(DroneModel.CF2X)
+    n = 16
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-0.5, 0.5, (n, 3)).astype(np.float32)
+    pos[:, 2] += 1.0
+    kin = init_kin_state(jnp.asarray(pos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
+    dense, _ = step_physics(kin, rpm, rpm, params, 1 / 240, 5,
+                            Physics.PYB_DW, collisions=True)
+    got = np.array(r0["swarm_pos_digest"])
+    want = np.asarray(dense.pos).reshape(-1)[:8]
+    np.testing.assert_allclose(got, want, atol=1e-4)

@@ -51,9 +51,18 @@ class BaseAviaryEnv(gym.Env):
     Exposes the reference's public attribute surface (NUM_DRONES, CTRL_FREQ,
     PYB_FREQ, CTRL_TIMESTEP, M, KF, KM, MAX_RPM, HOVER_RPM, INIT_XYZS, ... —
     BaseAviary.py:74-216) so downstream scripts port without edits.
+
+    PERFORMANCE: this drop-in shell round-trips host<->device on EVERY step
+    (numpy in/out, one dispatch per step) — it exists for API parity and is
+    ~3 orders of magnitude slower than the native batched path. For anything
+    performance-sensitive use `envs.base.Aviary` / `runtime.rollout`
+    (lax.scan rollouts, vmapped env batches; see docs/PERF.md). A one-time
+    RuntimeWarning flags this on construction; silence with
+    ``warnings.filterwarnings('ignore', message='.*drop-in compatibility.*')``.
     """
 
     metadata = {"render_modes": ["human"]}
+    _perf_warned = False
 
     def __init__(
         self,
@@ -112,6 +121,15 @@ class BaseAviaryEnv(gym.Env):
             )
         )
         self._state = None
+        if not BaseAviaryEnv._perf_warned:
+            BaseAviaryEnv._perf_warned = True
+            import warnings
+
+            warnings.warn(
+                "gym_pybullet_drones_tpu drop-in compatibility shell: one "
+                "host<->device round-trip per step. For throughput use "
+                "envs.base.Aviary / runtime.rollout (docs/PERF.md).",
+                RuntimeWarning, stacklevel=3)
         self.GUI, self.RECORD, self.OBSTACLES = gui, record, obstacles
         self.OUTPUT_FOLDER = output_folder
         # Recording (BaseAviary._startVideoRecording, :523-537): with

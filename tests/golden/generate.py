@@ -322,6 +322,53 @@ def main():
     out = _fly_velocity_env(v_init, vel_action, 4.0)
     np.savez(os.path.join(HERE, "velocity_pyb.npz"), **out,
              init_xyzs=np.array(v_init))
+
+    # cf2p_pyb — CF2P (plus-configuration mixer, its own inertia) DSLPID
+    # square-wave waypoint flight under PYB; anchors the P-config torque
+    # geometry end to end.
+    def cf2p_target(t, j):
+        leg = (t // 48) % 4
+        tgt = [np.array([0.2, 0.0, 0.5]), np.array([0.0, 0.2, 0.7]),
+               np.array([-0.2, 0.0, 0.5]), np.array([0.0, -0.2, 0.6])][leg]
+        return tgt, np.zeros(3)
+
+    out = _fly_pyb([[0.0, 0.0, 0.3]], [[0, 0, 0]], cf2p_target, 4.0,
+                   mode="PYB", model=DroneModel.CF2P)
+    np.savez(os.path.join(HERE, "cf2p_pyb.npz"), **out)
+
+    # race_pyb — RACE model under scripted open-loop RPMs (no DSLPID: the
+    # reference controller rejects non-CF2 models, DSLPIDControl.py:30-35).
+    # The script excites every RACE-specific constant: yaw reaction sign
+    # flip, wide prop offsets, 0.830 kg mass, spherical inertia.
+    c_race = consts(DroneModel.RACE)
+    hov = c_race["hover_rpm"]
+
+    def race_rpm(t):
+        base = hov * (1.0 + 0.03 * np.sin(2 * np.pi * t / 40.0))
+        d = np.array([1.0, -1.0, 1.0, -1.0]) * 0.01 * hov * np.sin(
+            2 * np.pi * t / 25.0)  # yaw excitation
+        tilt = np.array([1.0, 1.0, -1.0, -1.0]) * 0.004 * hov * np.cos(
+            2 * np.pi * t / 30.0)  # roll/pitch excitation
+        return (base + d + tilt)[None, :]
+
+    pos = np.array([[0.0, 0.0, 1.0]])
+    quat = _quats_from_rpys([[0.0, 0.0, 0.0]])
+    vel = np.zeros((1, 3))
+    ang_v = np.zeros((1, 3))
+    last = np.zeros((1, 4))
+    steps = 48 * 3
+    rp = dict(pos=np.zeros((steps, 1, 3)), quat=np.zeros((steps, 1, 4)),
+              vel=np.zeros((steps, 1, 3)), ang_v=np.zeros((steps, 1, 3)),
+              rpm=np.zeros((steps, 1, 4)))
+    for t in range(steps):
+        rpm = race_rpm(t)
+        pos, quat, vel, ang_v, last = pyb_step_fleet(
+            pos, quat, vel, ang_v, rpm, last, c_race, 1.0 / 240, 5,
+            mode="PYB", model=DroneModel.RACE)
+        rp["pos"][t], rp["quat"][t] = pos, quat
+        rp["vel"][t], rp["ang_v"][t] = vel, ang_v
+        rp["rpm"][t] = rpm
+    np.savez(os.path.join(HERE, "race_pyb.npz"), **rp)
     print("golden files written to", HERE)
 
 

@@ -256,3 +256,66 @@ def test_velocity_env_float32_budget():
     # measured: 6.5e-7 @0.5 s, 1.1e-3 @1 s, 2.6e-2 @4 s
     assert np.abs(obs[:24, :, 0:3] - g["obs"][:24, :, 0:3]).max() < 1e-5
     assert np.abs(obs[..., 0:3] - g["obs"][..., 0:3]).max() < 1e-1
+
+
+# ---------------------------------------------------------------------------
+# CF2P and RACE model goldens (weak-#1: non-CF2X coverage)
+# ---------------------------------------------------------------------------
+
+
+def test_cf2p_pyb_float64_parity():
+    """CF2P: plus-config mixer + its own inertia through DSLPID + PYB."""
+    g = np.load(os.path.join(GOLDEN, "cf2p_pyb.npz"))
+    dtype = jnp.float64
+    params = drone_params(DroneModel.CF2P, dtype=dtype)
+    cp = dsl_pid_params(DroneModel.CF2P, dtype=dtype)
+    kin = init_kin_state(jnp.asarray([[0.0, 0.0, 0.3]], dtype),
+                         jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype))
+    cs = dsl_pid_reset((1,), dtype=dtype)
+    legs = jnp.asarray([[0.2, 0.0, 0.5], [0.0, 0.2, 0.7],
+                        [-0.2, 0.0, 0.5], [0.0, -0.2, 0.6]], dtype)
+    rpm = jnp.zeros((1, 4), dtype)
+    last = jnp.zeros((1, 4), dtype)
+
+    @jax.jit
+    def step(kin, cs, rpm, last, t):
+        kin, carried = step_physics(kin, rpm, last, params, 1 / 240, 5,
+                                    Physics.PYB)
+        tgt = legs[(t // 48) % 4][None]
+        new_rpm, cs, _, _ = dsl_pid_control(
+            cp, cs, 1 / 48, kin.pos, kin.quat, kin.vel, tgt)
+        return kin, cs, new_rpm, carried
+
+    out = []
+    for t in range(g["pos"].shape[0]):
+        kin, cs, rpm, last = step(kin, cs, rpm, last, t)
+        out.append(np.asarray(kin.pos))
+    pos = np.stack(out)
+    # measured: round-off @1 s, Lyapunov-bounded tail like the CF2X configs
+    np.testing.assert_allclose(pos[:48], g["pos"][:48], atol=1e-9)
+    assert np.abs(pos - g["pos"]).max() < 5e-2
+
+
+def test_race_pyb_float64_parity():
+    """RACE: yaw-reaction sign flip, wide prop offsets, 0.83 kg mass under a
+    scripted open-loop RPM sequence (the reference DSLPID rejects RACE,
+    DSLPIDControl.py:30-35). Open loop -> no error amplification: full-flight
+    round-off parity."""
+    g = np.load(os.path.join(GOLDEN, "race_pyb.npz"))
+    dtype = jnp.float64
+    params = drone_params(DroneModel.RACE, dtype=dtype)
+    kin = init_kin_state(jnp.asarray([[0.0, 0.0, 1.0]], dtype),
+                         jnp.asarray([[0.0, 0.0, 0.0, 1.0]], dtype))
+    last = jnp.zeros((1, 4), dtype)
+
+    @jax.jit
+    def step(kin, last, rpm):
+        return step_physics(kin, rpm, last, params, 1 / 240, 5, Physics.PYB)
+
+    out_pos, out_ang = [], []
+    for t in range(g["pos"].shape[0]):
+        kin, last = step(kin, last, jnp.asarray(g["rpm"][t], dtype))
+        out_pos.append(np.asarray(kin.pos))
+        out_ang.append(np.asarray(kin.ang_v))
+    np.testing.assert_allclose(np.stack(out_pos), g["pos"], atol=1e-9)
+    np.testing.assert_allclose(np.stack(out_ang), g["ang_v"], atol=1e-8)

@@ -1,0 +1,120 @@
+"""Fused drone-interaction Pallas kernel: downwash + contact in ONE pair pass.
+
+`ops/downwash_pallas.py` and `ops/collide_pallas.py` each tile the O(N^2)
+pair space; running both per substep walks every pair twice and loads the
+position columns twice. This kernel computes both interactions from one
+(BT, BS) tile — the pair deltas/distances are shared — cutting the pair-pass
+cost of a contact-enabled coupled swarm by ~2x. Arithmetic matches
+`core/aero.downwash_forces_body_z` (BaseAviary._downwash, :798-811) and
+`core/collisions.resolve_drone_collisions` exactly.
+
+Outputs per target drone: wake magnitude (N,), position pushout (N, 3),
+velocity correction (N, 3).
+
+Stated deviation from the dense pipeline: the wake magnitude is computed from
+the same (pre-contact-correction) positions as the contact pass, while the
+dense path feeds the NEXT substep's wake the post-correction positions. The
+difference exists only for drones in active contact; in the wake model's
+regular regime it is bounded by the per-substep pushout (max_push = 1 cm)
+through the wake's spatial gradient. In the *ill-conditioned* regime —
+near-coincident drones where the 1/dz^2 magnitude and the dz>0 mask are
+chaotic in position (see the note at tests/test_rollout.py:228) — ANY
+reordering (this one included) diverges from dense, as dense itself diverges
+under f32 reassociation there. Contact-free and co-planar-contact swarms
+match dense to round-off (tests/test_collisions.py).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gym_pybullet_drones_tpu.core.params import DroneParams
+
+_BT = 256
+_BS = 512
+
+
+def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
+                         max_push: float = 0.01, interpret: bool = False):
+    """Build `interact(pos, vel) -> (dw_mag, dpos, dvel)` for (N, 3) fleets;
+    N % bt == 0 and N % bs == 0."""
+    c1 = float(params.dw_coeff_1)
+    c2 = float(params.dw_coeff_2)
+    c3 = float(params.dw_coeff_3)
+    pr = float(params.prop_radius)
+    min_dist = 2.0 * float(params.collision_r)
+    eps = 1e-9
+
+    def kernel(xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
+               dw, dpx, dpy, dpz, dvx, dvy, dvz):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            for o in (dw, dpx, dpy, dpz, dvx, dvy, dvz):
+                o[:] = jnp.zeros_like(o)
+
+        # Shared pair geometry (BT, BS)
+        dxs = xs[:] - xt[:]   # source minus target (downwash convention)
+        dys = ys[:] - yt[:]
+        dzs = zs[:] - zt[:]
+        dxy2 = dxs * dxs + dys * dys
+        dxy = jnp.sqrt(dxy2)
+        dist = jnp.sqrt(dxy2 + dzs * dzs)
+
+        # Downwash: sources strictly above within 10 m lateral
+        safe_dz = jnp.where(dzs > 0, dzs, 1.0)
+        alpha = c1 * (pr / (4.0 * safe_dz)) ** 2
+        beta = c2 * safe_dz + c3
+        safe_beta = jnp.where(jnp.abs(beta) > 1e-12, beta, 1.0)
+        mag = alpha * jnp.exp(-0.5 * (dxy / safe_beta) ** 2)
+        wake = jnp.where((dzs > 0) & (dxy < 10.0), mag, 0.0)
+        dw[:] -= jnp.sum(wake, axis=1, keepdims=True)
+
+        # Contact: normal points from source toward target = -delta
+        contact = (dist < min_dist) & (dist > eps)
+        overlap = jnp.where(contact, min_dist - dist, 0.0)
+        inv = 1.0 / jnp.maximum(dist, eps)
+        nx, ny, nz = -dxs * inv, -dys * inv, -dzs * inv
+        push = jnp.minimum(0.5 * overlap, max_push)
+        dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
+        dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
+        dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
+
+        rvx = vxt[:] - vxs[:]
+        rvy = vyt[:] - vys[:]
+        rvz = vzt[:] - vzs[:]
+        vn = rvx * nx + rvy * ny + rvz * nz
+        appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
+        dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
+        dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
+        dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+
+    def interact(pos, vel):
+        N = pos.shape[0]
+        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        cols_t = [pos[:, k].reshape(N, 1) for k in range(3)] + [
+            vel[:, k].reshape(N, 1) for k in range(3)]
+        cols_s = [pos[:, k].reshape(1, N) for k in range(3)] + [
+            vel[:, k].reshape(1, N) for k in range(3)]
+        t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(N // bt, N // bs),
+            in_specs=[t_spec] * 6 + [s_spec] * 6,
+            out_specs=[o_spec] * 7,
+            out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
+            interpret=interpret,
+        )(*cols_t, *cols_s)
+        dw_mag = outs[0][:, 0]
+        dpos = jnp.concatenate(outs[1:4], axis=1)
+        dvel = jnp.concatenate(outs[4:7], axis=1)
+        return dw_mag, dpos, dvel
+
+    return interact

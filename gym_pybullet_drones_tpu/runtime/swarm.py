@@ -99,11 +99,42 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     """
     from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
     from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
+    from gym_pybullet_drones_tpu.ops.interact_pallas import make_interact_pallas
 
     flags = dict(_PYB_FLAGS[physics])
     use_dw = flags.pop("dw")
     dw_fn = make_downwash_pallas(params, interpret=interpret) if use_dw else None
     collide_fn = make_collide_pallas(params, interpret=interpret) if collisions else None
+    # With BOTH interactions on, substep k's contact (post-integration state)
+    # and substep k+1's wake (pre-integration state) read the SAME positions,
+    # so one fused pair pass serves both: n+1 passes per control step instead
+    # of 2n (ops/interact_pallas.py).
+    interact_fn = (make_interact_pallas(params, interpret=interpret)
+                   if (use_dw and collisions) else None)
+
+    if interact_fn is not None:
+
+        @jax.jit
+        def step(kin: KinState, rpm, last_rpm):
+            from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
+
+            mag = dw_fn(kin.pos)  # wake for the first substep
+            for k in range(n_substeps):
+                R = quat_to_matrix(kin.quat)
+                dv = R[..., :, 2] * (mag / params.m * dt)[..., None]
+                kin = kin.replace(vel=kin.vel + dv)
+                kin = substep_pyb(kin, rpm, last_rpm, params, dt,
+                                  dw=False, **flags)
+                if k < n_substeps - 1:
+                    mag, dpos, dvel = interact_fn(kin.pos, kin.vel)
+                else:
+                    dpos, dvel = collide_fn(kin.pos, kin.vel)
+                    dpos, dvel = dpos - kin.pos, dvel - kin.vel
+                kin = kin.replace(pos=kin.pos + dpos, vel=kin.vel + dvel)
+                last_rpm = rpm
+            return kin, last_rpm
+
+        return step
 
     @jax.jit
     def step(kin: KinState, rpm, last_rpm):

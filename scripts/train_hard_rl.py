@@ -186,8 +186,12 @@ def main():
     for u in range(updates):
         runner, metrics = train(runner)
         if (u + 1) % eval_every == 0 or u == updates - 1:
+            # SB3-equivalent protocol: 10 consecutive episodes on ONE env
+            # (the action buffer persists across auto-resets, reference
+            # BaseRLAviary.py:153-155, so consecutive episodes differ; a
+            # single-episode eval overstates robustness).
             ret, n_eps = evaluate_policy(env_cfg, aux, runner.params,
-                                         num_steps=260, num_envs=4)
+                                         num_steps=260 * 10, num_envs=1)
             ls = np.asarray(runner.params["params"]["log_std"]).mean()
             print(f"[{time.time()-t0:7.1f}s] upd {u+1}/{updates} "
                   f"steps {(u+1)*ppo_cfg.batch_size/1e6:.2f}M "

@@ -248,3 +248,67 @@ def test_big_swarm_collisions_matches_dense():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(big.vel), np.asarray(dense.vel),
                                atol=1e-4)
+
+
+def test_fused_interact_kernel_matches_dense_contact_free():
+    """Fused downwash+contact kernel (make_big_swarm_physics dw+collisions
+    path): bit-level agreement with the dense pipeline on a wake-active but
+    contact-free swarm (interact_pallas.py deviation note: post-contact wake
+    positions only differ when contacts fire)."""
+    from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
+
+    params = drone_params(DroneModel.CF2X)
+    n = 512
+    # Stacked columns: strong wakes (drones above each other), xy spacing
+    # 0.5 m >> 0.12 m contact diameter -> zero contacts.
+    g = np.stack(np.meshgrid(np.arange(8) * 0.5, np.arange(8) * 0.5,
+                             np.arange(8) * 0.4), -1).reshape(-1, 3)
+    pos = jnp.asarray((g + [0.0, 0.0, 1.0]).astype(np.float32))
+    kin = init_kin_state(pos, jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    rpm = _hover_rpm(params, n)
+
+    dense, _ = step_physics(kin, rpm, rpm, params, 1 / 240, 5,
+                            Physics.PYB_DW, collisions=True)
+    step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
+                                  collisions=True, interpret=True)
+    fused, _ = step(kin, rpm, rpm)
+    np.testing.assert_allclose(np.asarray(fused.pos), np.asarray(dense.pos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.vel), np.asarray(dense.vel),
+                               atol=1e-4)
+
+
+def test_fused_interact_kernel_contact_active():
+    """Active contacts with the fused kernel: a co-planar layer of
+    overlapping pairs (dz exactly 0 -> the wake mask is off between contact
+    partners, keeping the comparison out of the ill-conditioned 1/dz^2 regime
+    — see test_rollout.py:228 note) must match dense to round-off."""
+    from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
+
+    params = drone_params(DroneModel.CF2X)
+    rng = np.random.default_rng(7)
+    base = np.stack(np.meshgrid(np.arange(16) * 0.5, np.arange(16) * 0.5),
+                    -1).reshape(-1, 2)
+    # each grid point spawns an overlapping pair (gap 0.1 < 0.12 diameter)
+    xy = np.concatenate([base, base + [0.1, 0.0]], axis=0)
+    n = xy.shape[0]
+    pos = np.concatenate([xy, np.full((n, 1), 1.0)], axis=1).astype(np.float32)
+    kin = init_kin_state(jnp.asarray(pos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    vel = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    vel[:, 2] = 0.0  # keep the layer exactly co-planar
+    kin = kin.replace(vel=jnp.asarray(vel))
+    rpm = _hover_rpm(params, n)
+
+    dense, _ = step_physics(kin, rpm, rpm, params, 1 / 240, 5,
+                            Physics.PYB_DW, collisions=True)
+    step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
+                                  collisions=True, interpret=True)
+    fused, _ = step(kin, rpm, rpm)
+    # contacts actually fired
+    assert np.abs(np.asarray(fused.pos) - np.asarray(kin.pos)).max() > 0
+    np.testing.assert_allclose(np.asarray(fused.pos), np.asarray(dense.pos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fused.vel), np.asarray(dense.vel),
+                               atol=1e-4)

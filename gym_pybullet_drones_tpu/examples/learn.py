@@ -60,6 +60,10 @@ def run(
     env_cfg = AviaryConfig(
         num_drones=num_drones, task=task, action_type=act, obs_type=obs,
         pyb_freq=240, ctrl_freq=30, action_buffer_size=15, episode_len_sec=8.0,
+        # Pixel training needs velocity information: stack the last 4 held
+        # 24 FPS captures (SB3 VecFrameStack analogue; solves RGB Hover to
+        # the ONE_D_RPM optimum 472 — docs/ROUND2.md item 3)
+        frame_stack=4 if obs == ObservationType.RGB else 1,
     )
 
     # Solved thresholds (learn.py:79-82)
@@ -75,12 +79,26 @@ def run(
     # ~1 m/s^2, and a hand-optimized bang-bang + PD policy scores 470.2 —
     # PPO beats it. The reference's 474 threshold was calibrated on SB3 +
     # PyBullet and is never verified by its own CI (test budget = 100 steps).
-    ppo_cfg = PPOConfig(num_envs=num_envs, n_steps=128, minibatch_size=1024)
-    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))
-    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux), donate_argnums=(0,))
-
     # Training budget: ~5M env-steps locally, 100 steps in CI (learn.py:93)
     total_steps = int(5e6) if local else int(1e2)
+    # 4-dim RPM is a knife-edge stabilization task: warm-start from the
+    # DSLPID-in-band expert and anneal the exploration noise away so the
+    # deterministic policy must stabilize on its own (docs/ROUND2.md item 4)
+    hard_rpm = act == ActionType.RPM and not multiagent
+    ppo_cfg = PPOConfig(
+        num_envs=num_envs, n_steps=128, minibatch_size=1024,
+        learning_rate=1e-4 if hard_rpm else 3e-4,
+        log_std_anneal_to=-3.0 if hard_rpm else None,
+        log_std_anneal_updates=max(
+            1, int(0.4 * (total_steps // (num_envs * 128)))),
+    )
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))
+    if hard_rpm and local:
+        from gym_pybullet_drones_tpu.rl.warmstart import bc_pretrain
+
+        runner, _ = bc_pretrain(env_cfg, runner, aux, jax.random.key(seed + 1))
+    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux), donate_argnums=(0,))
+
     updates = max(1, total_steps // ppo_cfg.batch_size)
     eval_every = max(1, updates // 40)
     eval_returns = []
@@ -89,8 +107,13 @@ def run(
     for u in range(updates):
         runner, metrics = train(runner)
         if (u + 1) % eval_every == 0 or u == updates - 1:
-            ret, n_eps = evaluate_policy(env_cfg, aux, runner.params,
-                                         num_steps=260, num_envs=4)
+            # SB3-equivalent protocol: 10 consecutive deterministic episodes
+            # on ONE env (the action buffer persists across auto-resets —
+            # BaseRLAviary.py:153-155 — so consecutive episodes differ; a
+            # single-episode eval overstates robustness). CI keeps it short.
+            ret, n_eps = evaluate_policy(
+                env_cfg, aux, runner.params,
+                num_steps=260 * 10 if local else 260, num_envs=1)
             eval_returns.append((int((u + 1) * ppo_cfg.batch_size), ret))
             print(f"[INFO] update {u+1}/{updates} mean episode return {ret:.1f} "
                   f"({n_eps} eps), train reward/step {float(metrics['mean_reward']):.3f}")

@@ -39,88 +39,7 @@ from gym_pybullet_drones_tpu.rl.ppo import (
     make_ppo_train_step,
     ppo_init,
 )
-
-
-def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768,
-                noise=0.25, bc_steps=20000, bc_batch=4096, log_std=-1.0):
-    """DAgger-style behavior cloning from the DSLPID-in-band expert.
-
-    The expert squeezes DSLPID RPM commands into the 4-dim RPM action band
-    (a = (rpm/hover - 1)/0.05, clipped): deterministic return 470.3 > 467 at
-    30 Hz, proving the threshold is reachable. Rollouts execute expert+noise
-    (state coverage); labels are the expert's noiseless action at the visited
-    state, with the expert's own PID state carried along the noisy path."""
-    import jax.numpy as jnp
-    import optax
-    from flax import traverse_util
-
-    from gym_pybullet_drones_tpu.control.dsl_pid import (
-        dsl_pid_control, dsl_pid_reset,
-    )
-    from gym_pybullet_drones_tpu.envs import base as envbase
-
-    params_env = aux["params_env"]
-    ctrl_params = aux["ctrl_params"]
-    target = aux["target_pos"]
-    hover = params_env.hover_rpm
-    steps = int(env_cfg.episode_len_sec * env_cfg.ctrl_freq)
-
-    def one_episode(key):
-        env_state = envbase.reset(env_cfg, params_env)
-        cs = dsl_pid_reset((1,))
-
-        def body(carry, k):
-            env_state, cs = carry
-            obs = envbase.compute_obs(env_cfg, env_state, params_env)
-            rpm, cs, _, _ = dsl_pid_control(
-                ctrl_params, cs, env_cfg.ctrl_timestep, env_state.kin.pos,
-                env_state.kin.quat, env_state.kin.vel, target)
-            a_exp = jnp.clip((rpm / hover - 1.0) / 0.05, -1.0, 1.0)
-            a_exec = jnp.clip(
-                a_exp + noise * jax.random.normal(k, a_exp.shape), -1.0, 1.0)
-            env_state, *_ = envbase.step(env_cfg, params_env, ctrl_params,
-                                         target, env_state, a_exec)
-            return (env_state, cs), (obs.reshape(-1), a_exp.reshape(-1))
-
-        _, (obs, acts) = jax.lax.scan(body, (env_state, cs),
-                                      jax.random.split(key, steps))
-        return obs, acts
-
-    rng, k = jax.random.split(rng)
-    obs, acts = jax.jit(jax.vmap(one_episode))(jax.random.split(k, episodes))
-    X = obs.reshape(-1, obs.shape[-1])
-    Y = acts.reshape(-1, acts.shape[-1])
-    print(f"[bc] dataset {X.shape[0]} samples", flush=True)
-
-    net = aux["network"]
-    params = runner.params
-    tx = optax.adam(optax.linear_schedule(1e-3, 5e-5, bc_steps))
-    opt = tx.init(params)
-
-    @jax.jit
-    def bc_step(params, opt, key):
-        idx = jax.random.randint(key, (bc_batch,), 0, X.shape[0])
-        xb, yb = X[idx], Y[idx]
-
-        def loss_fn(p):
-            mean, _, _ = net.apply(p, xb)
-            return jnp.mean((mean - yb) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), opt, loss
-
-    for i in range(bc_steps):
-        rng, k = jax.random.split(rng)
-        params, opt, loss = bc_step(params, opt, k)
-        if (i + 1) % 500 == 0:
-            print(f"[bc] step {i+1}/{bc_steps} mse {float(loss):.5f}",
-                  flush=True)
-    params = {**params,
-              "params": {**params["params"],
-                         "log_std": jnp.full_like(
-                             params["params"]["log_std"], log_std)}}
-    return runner.replace(params=params), rng
+from gym_pybullet_drones_tpu.rl.warmstart import bc_pretrain
 
 
 def main():

@@ -436,7 +436,10 @@ def step(
         # Capture gate: the reference checks the PRE-increment step counter
         # (obs computed at BaseAviary.py:376, counter advanced at :382) but
         # renders from the post-physics kinematics. Frames are held between
-        # captures; lax.cond skips the renderer on hold steps.
+        # captures. lax.cond skips the renderer on hold steps only in the
+        # UNBATCHED path; under vmap (batched training) it lowers to select
+        # and both branches run — per-env capture phases desynchronize after
+        # auto-resets, so that cost is unavoidable for correct cadence.
         pre_count = state.step_count - cfg.steps_per_ctrl
         capture = (pre_count % cfg.img_capture_freq) == 0
 

@@ -25,9 +25,16 @@ _BS = 512
 
 
 def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
-                        max_push: float = 0.01, interpret: bool = False):
+                        max_push: float = 0.01, interpret: bool = False,
+                        return_delta: bool = False):
     """Build `resolve(pos, vel) -> (new_pos, new_vel)` for (N, 3) fleets;
-    N % bt == 0 and N % bs == 0."""
+    N % bt == 0 and N % bs == 0. With ``return_delta`` the corrections
+    (dpos, dvel) are returned directly — callers that re-derive deltas by
+    subtracting absolute outputs would lose low-order bits of mm-scale
+    pushouts against large coordinates.
+
+    The kernel computes in float32 (the production swarm dtype); other input
+    dtypes are cast in and the results cast back."""
     min_dist = 2.0 * float(params.collision_r)
     eps = 1e-9
 
@@ -71,10 +78,13 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     def resolve(pos, vel):
         N = pos.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        cols_t = [pos[:, k].reshape(N, 1) for k in range(3)] + [
-            vel[:, k].reshape(N, 1) for k in range(3)]
-        cols_s = [pos[:, k].reshape(1, N) for k in range(3)] + [
-            vel[:, k].reshape(1, N) for k in range(3)]
+        in_dtype = pos.dtype
+        pos32 = pos.astype(jnp.float32)
+        vel32 = vel.astype(jnp.float32)
+        cols_t = [pos32[:, k].reshape(N, 1) for k in range(3)] + [
+            vel32[:, k].reshape(N, 1) for k in range(3)]
+        cols_s = [pos32[:, k].reshape(1, N) for k in range(3)] + [
+            vel32[:, k].reshape(1, N) for k in range(3)]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -89,8 +99,10 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 6,
             interpret=interpret,
         )(*cols_t, *cols_s)
-        dpos = jnp.concatenate(outs[0:3], axis=1)
-        dvel = jnp.concatenate(outs[3:6], axis=1)
+        dpos = jnp.concatenate(outs[0:3], axis=1).astype(in_dtype)
+        dvel = jnp.concatenate(outs[3:6], axis=1).astype(in_dtype)
+        if return_delta:
+            return dpos, dvel
         return pos + dpos, vel + dvel
 
     return resolve

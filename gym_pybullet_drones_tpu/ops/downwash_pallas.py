@@ -57,12 +57,14 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     def dw(pos):
         N = pos.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        xt = pos[:, 0].reshape(N, 1)
-        yt = pos[:, 1].reshape(N, 1)
-        zt = pos[:, 2].reshape(N, 1)
-        xs = pos[:, 0].reshape(1, N)
-        ys = pos[:, 1].reshape(1, N)
-        zs = pos[:, 2].reshape(1, N)
+        in_dtype = pos.dtype  # kernel is f32; cast in and back out
+        pos32 = pos.astype(jnp.float32)
+        xt = pos32[:, 0].reshape(N, 1)
+        yt = pos32[:, 1].reshape(N, 1)
+        zt = pos32[:, 2].reshape(N, 1)
+        xs = pos32[:, 0].reshape(1, N)
+        ys = pos32[:, 1].reshape(1, N)
+        zs = pos32[:, 2].reshape(1, N)
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -76,6 +78,6 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
             interpret=interpret,
         )(xt, yt, zt, xs, ys, zs)
-        return out[:, 0]
+        return out[:, 0].astype(in_dtype)
 
     return dw

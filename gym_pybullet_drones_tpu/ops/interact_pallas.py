@@ -94,10 +94,13 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     def interact(pos, vel):
         N = pos.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        cols_t = [pos[:, k].reshape(N, 1) for k in range(3)] + [
-            vel[:, k].reshape(N, 1) for k in range(3)]
-        cols_s = [pos[:, k].reshape(1, N) for k in range(3)] + [
-            vel[:, k].reshape(1, N) for k in range(3)]
+        in_dtype = pos.dtype  # kernel is f32; cast in and back out
+        pos32 = pos.astype(jnp.float32)
+        vel32 = vel.astype(jnp.float32)
+        cols_t = [pos32[:, k].reshape(N, 1) for k in range(3)] + [
+            vel32[:, k].reshape(N, 1) for k in range(3)]
+        cols_s = [pos32[:, k].reshape(1, N) for k in range(3)] + [
+            vel32[:, k].reshape(1, N) for k in range(3)]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -112,9 +115,9 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
             interpret=interpret,
         )(*cols_t, *cols_s)
-        dw_mag = outs[0][:, 0]
-        dpos = jnp.concatenate(outs[1:4], axis=1)
-        dvel = jnp.concatenate(outs[4:7], axis=1)
+        dw_mag = outs[0][:, 0].astype(in_dtype)
+        dpos = jnp.concatenate(outs[1:4], axis=1).astype(in_dtype)
+        dvel = jnp.concatenate(outs[4:7], axis=1).astype(in_dtype)
         return dw_mag, dpos, dvel
 
     return interact

@@ -111,6 +111,9 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     # of 2n (ops/interact_pallas.py).
     interact_fn = (make_interact_pallas(params, interpret=interpret)
                    if (use_dw and collisions) else None)
+    collide_last = (make_collide_pallas(params, interpret=interpret,
+                                        return_delta=True)
+                    if interact_fn is not None else None)
 
     if interact_fn is not None:
 
@@ -128,8 +131,7 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
                 if k < n_substeps - 1:
                     mag, dpos, dvel = interact_fn(kin.pos, kin.vel)
                 else:
-                    dpos, dvel = collide_fn(kin.pos, kin.vel)
-                    dpos, dvel = dpos - kin.pos, dvel - kin.vel
+                    dpos, dvel = collide_last(kin.pos, kin.vel)
                 kin = kin.replace(pos=kin.pos + dpos, vel=kin.vel + dvel)
                 last_rpm = rpm
             return kin, last_rpm

@@ -54,11 +54,12 @@ for i in $(seq 0 $((NUM - 1))); do
   cp -r src-clone "$d"
   sitl="$d/src/main/target/SITL/sitl.c"
   # Per-instance UDP port block: drone i listens/talks on 9001+10i..9004+10i
-  # (the env binds 9002+10i / sends to 9003+10i, 9004+10i — envs/beta.py)
-  sed -i "s/PORT_PWM_RAW\([[:space:]]*\)9001/PORT_PWM_RAW\190${i}1/" "$sitl"
-  sed -i "s/PORT_PWM\([[:space:]]*\)9002/PORT_PWM\190${i}2/" "$sitl"
-  sed -i "s/PORT_STATE\([[:space:]]*\)9003/PORT_STATE\190${i}3/" "$sitl"
-  sed -i "s/PORT_RC\([[:space:]]*\)9004/PORT_RC\190${i}4/" "$sitl"
+  # (the env binds 9002+10i / sends to 9003+10i, 9004+10i — envs/beta.py).
+  # Computed arithmetically so indices >= 10 stay valid ports.
+  sed -i "s/PORT_PWM_RAW\([[:space:]]*\)9001/PORT_PWM_RAW\1$((9001 + 10 * i))/" "$sitl"
+  sed -i "s/PORT_PWM\([[:space:]]*\)9002/PORT_PWM\1$((9002 + 10 * i))/" "$sitl"
+  sed -i "s/PORT_STATE\([[:space:]]*\)9003/PORT_STATE\1$((9003 + 10 * i))/" "$sitl"
+  sed -i "s/PORT_RC\([[:space:]]*\)9004/PORT_RC\1$((9004 + 10 * i))/" "$sitl"
   make -C "$d" TARGET=SITL -j"$(nproc)"
   if [ -n "$EEPROM" ]; then
     cp "$EEPROM" "$d/eeprom.bin"

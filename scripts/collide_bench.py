@@ -59,7 +59,7 @@ def main():
             dt_s = time.perf_counter() - t0
             best = max(best, n * chunk / dt_s)
         print(f"collisions={collisions}: {best:,.0f} drone-steps/s "
-              f"({best / chunk / n * chunk:,.0f}) at N={n}", flush=True)
+              f"({best / n:,.0f} control-steps/s) at N={n}", flush=True)
 
 
 if __name__ == "__main__":

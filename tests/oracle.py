@@ -134,6 +134,12 @@ def pyb_substep_fleet(
     pos, quat = np.array(pos, dtype=np.float64), np.array(quat, dtype=np.float64)
     vel, ang_v = np.array(vel, dtype=np.float64), np.array(ang_v, dtype=np.float64)
     offs = np.asarray(c["prop_offsets"], dtype=np.float64)
+    # Downwash must read a SNAPSHOT of the fleet (the reference applies all
+    # forces from the same pre-step kinematics before one stepSimulation —
+    # Jacobi, not Gauss-Seidel): without this, drone k's wake would see the
+    # already-updated positions of drones i < k, making the oracle
+    # drone-order-dependent.
+    pos_snapshot = pos.copy()
     for j in range(n):
         R = Rotation.from_quat(quat[j]).as_matrix()
         rpy = Rotation.from_quat(quat[j]).as_euler("xyz")
@@ -156,7 +162,8 @@ def pyb_substep_fleet(
             omega_sum = np.sum(2.0 * np.pi * np.asarray(last_rpm[j]) / 60.0)
             force_world = force_world + (-drag_coeff * omega_sum * vel[j])
         if dw:
-            force_world = force_world + R[:, 2] * _downwash_body_z(pos, j, c)
+            force_world = force_world + R[:, 2] * _downwash_body_z(
+                pos_snapshot, j, c)
         accel = force_world / c["m"] - np.array([0.0, 0.0, G])
         new_vel = vel[j] + dt * accel
         omega_body = R.T @ ang_v[j]

@@ -148,17 +148,22 @@ def test_helix_pyb_float32_budget():
 def test_downwash_pyb_float64_parity():
     pos, g = _replay_waypoint_pyb("downwash_pyb.npz", Physics.PYB_DW,
                                   jnp.float64, 2)
-    # measured: 1.4e-10 @1 s, 1.4e-2 @4 s
+    # measured: 1.4e-10 @1 s, 1.9e-5 @2 s, 1.4e-2 @4 s (the oracle computes
+    # wakes from a per-substep fleet snapshot — Jacobi, matching the
+    # reference's apply-all-forces-then-step ordering)
     np.testing.assert_allclose(pos[:48], g["pos"][:48], atol=1e-9)
+    assert np.abs(pos[:96] - g["pos"][:96]).max() < 2e-4
     assert np.abs(pos - g["pos"]).max() < 5e-2
 
 
 def test_downwash_all_aero_float64_parity():
     """PYB_GND_DRAG_DW: every aero term active, incl. the previous-action drag
-    rule (BaseAviary.py:359,372). Measured: 3.6e-10 @1 s, 1.5e-2 @4 s."""
+    rule (BaseAviary.py:359,372). Measured: 3.6e-10 @1 s, 2.3e-4 @2 s,
+    1.6e-2 @4 s."""
     pos, g = _replay_waypoint_pyb("downwash_gdd.npz", Physics.PYB_GND_DRAG_DW,
                                   jnp.float64, 2)
     np.testing.assert_allclose(pos[:48], g["pos"][:48], atol=1e-9)
+    assert np.abs(pos[:96] - g["pos"][:96]).max() < 2e-3
     assert np.abs(pos - g["pos"]).max() < 5e-2
 
 

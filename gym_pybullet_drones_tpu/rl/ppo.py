@@ -420,20 +420,9 @@ def _episode_stats(rewards, dones):
     """Mean return over completed episodes (running-mean fallback when none
     completed), entirely on device — the former host-side double loop crawled
     at hundreds of envs (round-1 verdict weak #5). rewards/dones: (T, E)."""
+    from gym_pybullet_drones_tpu.runtime.rollout import episode_stats
 
-    def body(carry, inp):
-        running, total, count = carry
-        r, d = inp
-        running = running + r
-        total = total + jnp.where(d, running, 0.0)
-        count = count + d.astype(jnp.int32)
-        running = jnp.where(d, 0.0, running)
-        return (running, total, count), None
-
-    zeros = jnp.zeros_like(rewards[0])
-    (running, total, count), _ = jax.lax.scan(
-        body, (zeros, zeros, jnp.zeros_like(zeros, dtype=jnp.int32)),
-        (rewards, dones))
+    running, total, count = episode_stats(rewards, dones)
     n = count.sum()
     mean_ret = jnp.where(n > 0, total.sum() / jnp.maximum(n, 1),
                          running.mean())

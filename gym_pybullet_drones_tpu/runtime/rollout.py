@@ -159,14 +159,10 @@ def rollout(
     return jax.lax.scan(body, (state, policy_state, obs), keys)
 
 
-def episode_returns(outputs: StepOutput):
-    """Undiscounted per-episode returns from a rollout's stacked signals.
-
-    Sums rewards between done flags per env column (time axis leading). Returns
-    (returns, counts): total return of *completed* episodes and their number,
-    for parity checks against SB3's `evaluate_policy` (learn.py:149-152).
-    """
-    done = outputs.terminated | outputs.truncated
+def episode_stats(rewards, dones):
+    """Per-env episode accumulation over (T, E) reward/done columns: returns
+    (running, total, count) — the return still accruing in each env, the sum
+    of COMPLETED episode returns, and how many completed."""
 
     def body(carry, inp):
         running, total, count = carry
@@ -177,9 +173,21 @@ def episode_returns(outputs: StepOutput):
         running = jnp.where(d, 0.0, running)
         return (running, total, count), None
 
-    zeros = jnp.zeros_like(outputs.reward[0])
+    zeros = jnp.zeros_like(rewards[0])
     (running, total, count), _ = jax.lax.scan(
         body, (zeros, zeros, jnp.zeros_like(zeros, dtype=jnp.int32)),
-        (outputs.reward, done),
+        (rewards, dones),
     )
+    return running, total, count
+
+
+def episode_returns(outputs: StepOutput):
+    """Undiscounted per-episode returns from a rollout's stacked signals.
+
+    Sums rewards between done flags per env column (time axis leading). Returns
+    (returns, counts): total return of *completed* episodes and their number,
+    for parity checks against SB3's `evaluate_policy` (learn.py:149-152).
+    """
+    _, total, count = episode_stats(outputs.reward,
+                                    outputs.terminated | outputs.truncated)
     return total, count

@@ -24,6 +24,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gym_pybullet_drones_tpu.core.collisions import resolve_drone_collisions
 from gym_pybullet_drones_tpu.core.dynamics import _PYB_FLAGS, KinState, substep_pyb
 from gym_pybullet_drones_tpu.core.params import DroneParams
+from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
 from gym_pybullet_drones_tpu.envs.spec import Physics
 
 
@@ -119,8 +120,6 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
 
         @jax.jit
         def step(kin: KinState, rpm, last_rpm):
-            from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
-
             mag = dw_fn(kin.pos)  # wake for the first substep
             for k in range(n_substeps):
                 R = quat_to_matrix(kin.quat)
@@ -142,13 +141,9 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     def step(kin: KinState, rpm, last_rpm):
         for _ in range(n_substeps):
             if use_dw:
-                # Inject the Pallas wake force by shifting the rpm-derived
-                # thrust? No — cleanest is the dw_src hook with a (N, 3)
-                # source set; but the pair sum is exactly what dw_fn computes,
-                # so apply it directly as a velocity increment like substep's
-                # own dw force: F = R_z * mag; a = F/m.
-                from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
-
+                # The pair sum is exactly what dw_fn computes; apply it
+                # directly as a velocity increment like substep's own dw
+                # force: F = R_z * mag; a = F/m.
                 mag = dw_fn(kin.pos)  # (N,)
                 R = quat_to_matrix(kin.quat)
                 dv = R[..., :, 2] * (mag / params.m * dt)[..., None]

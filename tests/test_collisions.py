@@ -3,7 +3,6 @@
 BaseAviary.py:484-505, BaseRLAviary.py:99-128)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

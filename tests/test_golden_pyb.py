@@ -17,7 +17,6 @@ Replays run through two layers:
 import os
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp
@@ -46,7 +45,7 @@ from gym_pybullet_drones_tpu.envs.spec import (
 GOLDEN = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
 
 
-def _replay_waypoint_pyb(golden, physics, dtype, n, target_z=None):
+def _replay_waypoint_pyb(golden, physics, dtype, n):
     """Kernel-level replay: step_physics (PYB modes) then DSLPID, matching the
     physics-first loop of generate._fly_pyb."""
     g = np.load(os.path.join(GOLDEN, golden))

@@ -6,7 +6,6 @@ import os
 import struct
 
 import numpy as np
-import pytest
 
 from gym_pybullet_drones_tpu.utils.video import (
     encode_video,

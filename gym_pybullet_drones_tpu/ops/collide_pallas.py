@@ -75,16 +75,15 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
         dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
 
-    def resolve(pos, vel):
-        N = pos.shape[0]
+    def resolve_cols(x, y, z, vx, vy, vz):
+        """Column-level entry: six (N,) arrays -> ((dpx,dpy,dpz),
+        (dvx,dvy,dvz)) correction columns (always delta form)."""
+        N = x.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        in_dtype = pos.dtype
-        pos32 = pos.astype(jnp.float32)
-        vel32 = vel.astype(jnp.float32)
-        cols_t = [pos32[:, k].reshape(N, 1) for k in range(3)] + [
-            vel32[:, k].reshape(N, 1) for k in range(3)]
-        cols_s = [pos32[:, k].reshape(1, N) for k in range(3)] + [
-            vel32[:, k].reshape(1, N) for k in range(3)]
+        in_dtype = x.dtype
+        comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        cols_t = [a.reshape(N, 1) for a in comps]
+        cols_s = [a.reshape(1, N) for a in comps]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -99,10 +98,16 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 6,
             interpret=interpret,
         )(*cols_t, *cols_s)
-        dpos = jnp.concatenate(outs[0:3], axis=1).astype(in_dtype)
-        dvel = jnp.concatenate(outs[3:6], axis=1).astype(in_dtype)
+        cols = [o[:, 0].astype(in_dtype) for o in outs]
+        return tuple(cols[0:3]), tuple(cols[3:6])
+
+    def resolve(pos, vel):
+        dp, dv = resolve_cols(pos[:, 0], pos[:, 1], pos[:, 2],
+                              vel[:, 0], vel[:, 1], vel[:, 2])
+        dpos, dvel = jnp.stack(dp, -1), jnp.stack(dv, -1)
         if return_delta:
             return dpos, dvel
         return pos + dpos, vel + dvel
 
+    resolve.cols = resolve_cols
     return resolve

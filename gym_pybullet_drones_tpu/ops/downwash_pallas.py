@@ -54,17 +54,19 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         contrib = jnp.where(mask, mag, 0.0)
         out[:] -= jnp.sum(contrib, axis=1, keepdims=True)
 
-    def dw(pos):
-        N = pos.shape[0]
+    def dw_cols(x, y, z):
+        """Column-level entry: (N,) f32 coordinate arrays -> (N,) wake
+        magnitudes (no (N,3) packing — the SoA swarm path feeds columns)."""
+        N = x.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        in_dtype = pos.dtype  # kernel is f32; cast in and back out
-        pos32 = pos.astype(jnp.float32)
-        xt = pos32[:, 0].reshape(N, 1)
-        yt = pos32[:, 1].reshape(N, 1)
-        zt = pos32[:, 2].reshape(N, 1)
-        xs = pos32[:, 0].reshape(1, N)
-        ys = pos32[:, 1].reshape(1, N)
-        zs = pos32[:, 2].reshape(1, N)
+        in_dtype = x.dtype  # kernel is f32; cast in and back out
+        x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
+        xt = x.reshape(N, 1)
+        yt = y.reshape(N, 1)
+        zt = z.reshape(N, 1)
+        xs = x.reshape(1, N)
+        ys = y.reshape(1, N)
+        zs = z.reshape(1, N)
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -80,4 +82,8 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         )(xt, yt, zt, xs, ys, zs)
         return out[:, 0].astype(in_dtype)
 
+    def dw(pos):
+        return dw_cols(pos[:, 0], pos[:, 1], pos[:, 2])
+
+    dw.cols = dw_cols
     return dw

@@ -91,16 +91,15 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
         dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
 
-    def interact(pos, vel):
-        N = pos.shape[0]
+    def interact_cols(x, y, z, vx, vy, vz):
+        """Column-level entry: six (N,) arrays -> (dw_mag, (dpx,dpy,dpz),
+        (dvx,dvy,dvz)) column tuples (SoA swarm path)."""
+        N = x.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        in_dtype = pos.dtype  # kernel is f32; cast in and back out
-        pos32 = pos.astype(jnp.float32)
-        vel32 = vel.astype(jnp.float32)
-        cols_t = [pos32[:, k].reshape(N, 1) for k in range(3)] + [
-            vel32[:, k].reshape(N, 1) for k in range(3)]
-        cols_s = [pos32[:, k].reshape(1, N) for k in range(3)] + [
-            vel32[:, k].reshape(1, N) for k in range(3)]
+        in_dtype = x.dtype  # kernel is f32; cast in and back out
+        comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        cols_t = [a.reshape(N, 1) for a in comps]
+        cols_s = [a.reshape(1, N) for a in comps]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -115,9 +114,13 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
             interpret=interpret,
         )(*cols_t, *cols_s)
-        dw_mag = outs[0][:, 0].astype(in_dtype)
-        dpos = jnp.concatenate(outs[1:4], axis=1).astype(in_dtype)
-        dvel = jnp.concatenate(outs[4:7], axis=1).astype(in_dtype)
-        return dw_mag, dpos, dvel
+        cols = [o[:, 0].astype(in_dtype) for o in outs]
+        return cols[0], tuple(cols[1:4]), tuple(cols[4:7])
 
+    def interact(pos, vel):
+        mag, dp, dv = interact_cols(pos[:, 0], pos[:, 1], pos[:, 2],
+                                    vel[:, 0], vel[:, 1], vel[:, 2])
+        return mag, jnp.stack(dp, -1), jnp.stack(dv, -1)
+
+    interact.cols = interact_cols
     return interact

@@ -1,0 +1,117 @@
+"""SoA coupled-swarm step: fused substep chain + tiled Pallas pair kernels.
+
+`runtime/swarm.make_big_swarm_physics` runs the AoS `substep_pyb` between
+Pallas pair passes; at 4096 drones the AoS chain of stack/concat/einsum ops —
+not the pair kernels — bounds throughput (docs/PERF.md tile sweep). This
+module re-expresses that chain in the structure-of-arrays form of
+`ops/velocity_soa.physics_substep_soa` (every component a flat (N,) column,
+every op elementwise, so XLA fuses whole substeps) and feeds the Pallas
+kernels through their column-level entry points — no (N,3) packing anywhere
+in the loop.
+
+Semantics match `make_big_swarm_physics` exactly:
+  * wake magnitude from pre-substep positions, injected as a body-z velocity
+    increment (Euler increments of COM forces commute);
+  * with contact, substep k's resolve and substep k+1's wake share one fused
+    pair pass (`ops/interact_pallas`), n+1 passes per control step.
+PYB_DW only (the coupled-swarm mode); drag/ground-effect variants use the
+AoS path.
+"""
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.core.params import DroneParams
+from gym_pybullet_drones_tpu.ops.velocity_soa import (
+    _rot_cols_from_quat,
+    physics_substep_soa,
+)
+
+SWARM_SOA_KEYS = ("px", "py", "pz", "qx", "qy", "qz", "qw",
+                  "vx", "vy", "vz", "wx", "wy", "wz")
+
+
+def swarm_soa_from_kin(kin) -> Dict[str, jax.Array]:
+    """KinState (leaves (N, d)) -> dict of (N,) columns."""
+    s = {}
+    for i, k in enumerate(("px", "py", "pz")):
+        s[k] = kin.pos[:, i]
+    for i, k in enumerate(("qx", "qy", "qz", "qw")):
+        s[k] = kin.quat[:, i]
+    for i, k in enumerate(("vx", "vy", "vz")):
+        s[k] = kin.vel[:, i]
+    for i, k in enumerate(("wx", "wy", "wz")):
+        s[k] = kin.ang_v[:, i]
+    return s
+
+
+def swarm_soa_to_kin(s: Dict[str, jax.Array], template):
+    """dict of (N,) columns -> KinState with the template's rpy_rates."""
+    pack = lambda ks: jnp.stack([s[k] for k in ks], -1)
+    return template.replace(
+        pos=pack(("px", "py", "pz")),
+        quat=pack(("qx", "qy", "qz", "qw")),
+        vel=pack(("vx", "vy", "vz")),
+        ang_v=pack(("wx", "wy", "wz")),
+    )
+
+
+def swarm_consts(dp: DroneParams) -> Dict[str, object]:
+    """Physics constants as plain floats (run OUTSIDE jit)."""
+    return dict(
+        kf=float(dp.kf), km=float(dp.km), yaw_sign=float(dp.yaw_sign),
+        m_=float(dp.m), g_=float(dp.g),
+        J=[float(dp.J[i, i]) for i in range(3)],
+        Jinv=[float(dp.J_inv[i, i]) for i in range(3)],
+        offs=[[float(dp.prop_offsets[p_, k]) for k in range(3)] for p_ in range(4)],
+        z_min=float(dp.collision_h) / 2.0 - float(dp.collision_z_offset),
+    )
+
+
+def make_swarm_step_soa(params: DroneParams, dt, n_substeps: int,
+                        collisions: bool = False, interpret: bool = False):
+    """Build `step(s, rpm_cols) -> s` over SoA columns: PYB_DW physics with
+    the Pallas wake (and optionally the fused wake+contact pass)."""
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
+    from gym_pybullet_drones_tpu.ops.interact_pallas import make_interact_pallas
+    from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
+
+    c = swarm_consts(params)
+    m_ = c["m_"]
+    dw_fn = make_downwash_pallas(params, interpret=interpret)
+    interact_fn = (make_interact_pallas(params, interpret=interpret)
+                   if collisions else None)
+    collide_fn = (make_collide_pallas(params, interpret=interpret)
+                  if collisions else None)
+
+    def step(s: Dict[str, jax.Array], rpm_cols):
+        px, py, pz = s["px"], s["py"], s["pz"]
+        qx, qy, qz, qw = s["qx"], s["qy"], s["qz"], s["qw"]
+        vx, vy, vz = s["vx"], s["vy"], s["vz"]
+        wx, wy, wz = s["wx"], s["wy"], s["wz"]
+
+        mag = dw_fn.cols(px, py, pz)
+        for k in range(n_substeps):
+            # wake force along body z as a velocity increment: dv = R_z*mag/m*dt
+            _, _, r02, _, _, r12, _, _, r22 = _rot_cols_from_quat(qx, qy, qz, qw)
+            coef = mag / m_ * dt
+            vx, vy, vz = vx + r02 * coef, vy + r12 * coef, vz + r22 * coef
+            (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = (
+                physics_substep_soa(c, dt, px, py, pz, qx, qy, qz, qw,
+                                    vx, vy, vz, wx, wy, wz, rpm_cols))
+            if collisions:
+                if k < n_substeps - 1:
+                    mag, dp, dv = interact_fn.cols(px, py, pz, vx, vy, vz)
+                else:
+                    dp, dv = collide_fn.cols(px, py, pz, vx, vy, vz)
+                px, py, pz = px + dp[0], py + dp[1], pz + dp[2]
+                vx, vy, vz = vx + dv[0], vy + dv[1], vz + dv[2]
+            elif k < n_substeps - 1:
+                mag = dw_fn.cols(px, py, pz)
+
+        return dict(px=px, py=py, pz=pz, qx=qx, qy=qy, qz=qz, qw=qw,
+                    vx=vx, vy=vy, vz=vz, wx=wx, wy=wy, wz=wz)
+
+    return step

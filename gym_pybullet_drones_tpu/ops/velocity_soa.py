@@ -122,6 +122,75 @@ def soa_consts(cp: DSLPIDParams, dp: DroneParams) -> Dict[str, object]:
     )
 
 
+def physics_substep_soa(c: Dict[str, object], pyb_dt,
+                        px, py, pz, qx, qy, qz, qw,
+                        vx, vy, vz, wx, wy, wz, rpm):
+    """One Physics.PYB substep over SoA columns (the exact op sequence of
+    `core/dynamics.substep_pyb` without aero terms): thrust at prop offsets,
+    yaw reaction torque, Newton-Euler, axis-angle quat update, plane clamp.
+    ``rpm`` is a list of four (E,) motor-speed columns. Shared by the
+    velocity-env hot path and the SoA coupled-swarm step (ops/swarm_soa.py).
+    """
+    kf, km, yaw_sign = c["kf"], c["km"], c["yaw_sign"]
+    m_, g_ = c["m_"], c["g_"]
+    J, Jinv, offs, z_min = c["J"], c["Jinv"], c["offs"], c["z_min"]
+
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rot_cols_from_quat(qx, qy, qz, qw)
+    f = [rpm[m] * rpm[m] * kf for m in range(4)]
+    t_m = [rpm[m] * rpm[m] * km * yaw_sign for m in range(4)]
+    tau_z = -t_m[0] + t_m[1] - t_m[2] + t_m[3]
+    tau_x = f[0] * offs[0][1] + f[1] * offs[1][1] + f[2] * offs[2][1] + f[3] * offs[3][1]
+    tau_y = -(f[0] * offs[0][0] + f[1] * offs[1][0] + f[2] * offs[2][0] + f[3] * offs[3][0])
+    fsum = f[0] + f[1] + f[2] + f[3]
+    axw, ayw, azw = r02 * fsum / m_, r12 * fsum / m_, r22 * fsum / m_ - g_
+    nvx, nvy, nvz = vx + pyb_dt * axw, vy + pyb_dt * ayw, vz + pyb_dt * azw
+
+    # omega world -> body: R^T w
+    obx = r00 * wx + r10 * wy + r20 * wz
+    oby = r01 * wx + r11 * wy + r21 * wz
+    obz = r02 * wx + r12 * wy + r22 * wz
+    # coupling = w x (J w) (J diagonal)
+    cx = oby * (J[2] * obz) - obz * (J[1] * oby)
+    cy = obz * (J[0] * obx) - obx * (J[2] * obz)
+    cz = obx * (J[1] * oby) - oby * (J[0] * obx)
+    nbx = obx + pyb_dt * Jinv[0] * (tau_x - cx)
+    nby = oby + pyb_dt * Jinv[1] * (tau_y - cy)
+    nbz = obz + pyb_dt * Jinv[2] * (tau_z - cz)
+    nwx = r00 * nbx + r01 * nby + r02 * nbz
+    nwy = r10 * nbx + r11 * nby + r12 * nbz
+    nwz = r20 * nbx + r21 * nby + r22 * nbz
+
+    npx, npy, npz = px + pyb_dt * nvx, py + pyb_dt * nvy, pz + pyb_dt * nvz
+
+    # integrate_quat (axis-angle, body rates nb)
+    onorm = jnp.sqrt(nbx * nbx + nby * nby + nbz * nbz)
+    sn = jnp.maximum(onorm, 1e-9)
+    theta = sn * pyb_dt / 2.0
+    ct, st = jnp.cos(theta), jnp.sin(theta) / sn
+    mqx = nbz * qy - nby * qz + nbx * qw
+    mqy = -nbz * qx + nbx * qz + nby * qw
+    mqz = nby * qx - nbx * qy + nbz * qw
+    mqw = -nbx * qx - nby * qy - nbz * qz
+    big = onorm > 1e-9
+    nqx = jnp.where(big, ct * qx + st * mqx, qx)
+    nqy = jnp.where(big, ct * qy + st * mqy, qy)
+    nqz = jnp.where(big, ct * qz + st * mqz, qz)
+    nqw = jnp.where(big, ct * qw + st * mqw, qw)
+    qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
+    nqx, nqy, nqz, nqw = nqx / qn, nqy / qn, nqz / qn, nqw / qn
+
+    # plane contact clamp
+    below = npz < z_min
+    npz = jnp.where(below, z_min, npz)
+    nvz = jnp.where(below, jnp.maximum(nvz, 0.0), nvz)
+    pressed = below & (azw <= 0.0)
+    nwx = jnp.where(pressed, 0.0, nwx)
+    nwy = jnp.where(pressed, 0.0, nwy)
+    nwz = jnp.where(pressed, 0.0, nwz)
+
+    return (npx, npy, npz, nqx, nqy, nqz, nqw, nvx, nvy, nvz, nwx, nwy, nwz)
+
+
 def velocity_step_soa(consts: Dict[str, object], ctrl_dt, pyb_dt,
                       n_substeps: int, speed_limit,
                       s: Dict[str, jax.Array],
@@ -139,9 +208,6 @@ def velocity_step_soa(consts: Dict[str, object], ctrl_dt, pyb_dt,
     scale, const = c["scale"], c["const"]
     min_pwm, max_pwm = c["min_pwm"], c["max_pwm"]
     kf_c, grav = c["kf_c"], c["grav"]
-    kf, km, yaw_sign = c["kf"], c["km"], c["yaw_sign"]
-    m_, g_ = c["m_"], c["g_"]
-    J, Jinv, offs, z_min = c["J"], c["Jinv"], c["offs"], c["z_min"]
 
     px, py, pz = s["px"], s["py"], s["pz"]
     qx, qy, qz, qw = s["qx"], s["qy"], s["qz"], s["qw"]
@@ -228,62 +294,9 @@ def velocity_step_soa(consts: Dict[str, object], ctrl_dt, pyb_dt,
 
     # ---------------- physics substeps (Physics.PYB) ----------------------
     for _ in range(n_substeps):
-        r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rot_cols_from_quat(qx, qy, qz, qw)
-        f = [rpm[m] * rpm[m] * kf for m in range(4)]
-        t_m = [rpm[m] * rpm[m] * km * yaw_sign for m in range(4)]
-        tau_z = -t_m[0] + t_m[1] - t_m[2] + t_m[3]
-        tau_x = f[0] * offs[0][1] + f[1] * offs[1][1] + f[2] * offs[2][1] + f[3] * offs[3][1]
-        tau_y = -(f[0] * offs[0][0] + f[1] * offs[1][0] + f[2] * offs[2][0] + f[3] * offs[3][0])
-        fsum = f[0] + f[1] + f[2] + f[3]
-        axw, ayw, azw = r02 * fsum / m_, r12 * fsum / m_, r22 * fsum / m_ - g_
-        nvx, nvy, nvz = vx + pyb_dt * axw, vy + pyb_dt * ayw, vz + pyb_dt * azw
-
-        # omega world -> body: R^T w
-        obx = r00 * wx + r10 * wy + r20 * wz
-        oby = r01 * wx + r11 * wy + r21 * wz
-        obz = r02 * wx + r12 * wy + r22 * wz
-        # coupling = w x (J w) (J diagonal)
-        cx = oby * (J[2] * obz) - obz * (J[1] * oby)
-        cy = obz * (J[0] * obx) - obx * (J[2] * obz)
-        cz = obx * (J[1] * oby) - oby * (J[0] * obx)
-        nbx = obx + pyb_dt * Jinv[0] * (tau_x - cx)
-        nby = oby + pyb_dt * Jinv[1] * (tau_y - cy)
-        nbz = obz + pyb_dt * Jinv[2] * (tau_z - cz)
-        nwx = r00 * nbx + r01 * nby + r02 * nbz
-        nwy = r10 * nbx + r11 * nby + r12 * nbz
-        nwz = r20 * nbx + r21 * nby + r22 * nbz
-
-        npx, npy, npz = px + pyb_dt * nvx, py + pyb_dt * nvy, pz + pyb_dt * nvz
-
-        # integrate_quat (axis-angle, body rates nb)
-        onorm = jnp.sqrt(nbx * nbx + nby * nby + nbz * nbz)
-        sn = jnp.maximum(onorm, 1e-9)
-        theta = sn * pyb_dt / 2.0
-        ct, st = jnp.cos(theta), jnp.sin(theta) / sn
-        mqx = nbz * qy - nby * qz + nbx * qw
-        mqy = -nbz * qx + nbx * qz + nby * qw
-        mqz = nby * qx - nbx * qy + nbz * qw
-        mqw = -nbx * qx - nby * qy - nbz * qz
-        big = onorm > 1e-9
-        nqx = jnp.where(big, ct * qx + st * mqx, qx)
-        nqy = jnp.where(big, ct * qy + st * mqy, qy)
-        nqz = jnp.where(big, ct * qz + st * mqz, qz)
-        nqw = jnp.where(big, ct * qw + st * mqw, qw)
-        qn = jnp.sqrt(nqx * nqx + nqy * nqy + nqz * nqz + nqw * nqw)
-        nqx, nqy, nqz, nqw = nqx / qn, nqy / qn, nqz / qn, nqw / qn
-
-        # plane contact clamp
-        below = npz < z_min
-        npz = jnp.where(below, z_min, npz)
-        nvz = jnp.where(below, jnp.maximum(nvz, 0.0), nvz)
-        pressed = below & (azw <= 0.0)
-        nwx = jnp.where(pressed, 0.0, nwx)
-        nwy = jnp.where(pressed, 0.0, nwy)
-        nwz = jnp.where(pressed, 0.0, nwz)
-
-        px, py, pz, vx, vy, vz = npx, npy, npz, nvx, nvy, nvz
-        qx, qy, qz, qw = nqx, nqy, nqz, nqw
-        wx, wy, wz = nwx, nwy, nwz
+        (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = (
+            physics_substep_soa(c, pyb_dt, px, py, pz, qx, qy, qz, qw,
+                                vx, vy, vz, wx, wy, wz, rpm))
 
     return dict(
         px=px, py=py, pz=pz, qx=qx, qy=qy, qz=qz, qw=qw,

@@ -36,30 +36,55 @@ def main():
         jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
     rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
 
+    backend = os.environ.get("SWARM_BACKEND", "soa")
+    rpm_cols = [rpm[:, m] for m in range(4)]
+
     for collisions in (False, True):
-        step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
-                                      collisions=collisions)
+        if backend == "soa":
+            from gym_pybullet_drones_tpu.ops.swarm_soa import (
+                make_swarm_step_soa, swarm_soa_from_kin,
+            )
 
-        @jax.jit
-        def run_chunk(kin, rpm):
-            def body(carry, _):
-                kin, last = carry
-                kin, last = step(kin, rpm, last)
-                return (kin, last), None
-            (kin, last), _ = jax.lax.scan(body, (kin, rpm), None, length=chunk)
-            return kin
+            soa_step = make_swarm_step_soa(params, 1 / 240, 5,
+                                           collisions=collisions)
+            s0 = swarm_soa_from_kin(kin)
 
-        out = run_chunk(kin, rpm)
+            @jax.jit
+            def run_chunk(s, rpm_cols):
+                def body(s, _):
+                    return soa_step(s, rpm_cols), None
+                s, _ = jax.lax.scan(body, s, None, length=chunk)
+                return s
+
+            args = (s0, rpm_cols)
+        else:
+            step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
+                                          collisions=collisions)
+
+            @jax.jit
+            def run_chunk(kin, rpm):
+                def body(carry, _):
+                    kin, last = carry
+                    kin, last = step(kin, rpm, last)
+                    return (kin, last), None
+                (kin, last), _ = jax.lax.scan(body, (kin, rpm), None,
+                                              length=chunk)
+                return kin
+
+            args = (kin, rpm)
+
+        out = run_chunk(*args)
         jax.block_until_ready(out)
         best = 0.0
         for _ in range(3):
             t0 = time.perf_counter()
-            out = run_chunk(kin, rpm)
+            out = run_chunk(*args)
             jax.block_until_ready(out)
             dt_s = time.perf_counter() - t0
             best = max(best, n * chunk / dt_s)
-        print(f"collisions={collisions}: {best:,.0f} drone-steps/s "
-              f"({best / n:,.0f} control-steps/s) at N={n}", flush=True)
+        print(f"backend={backend} collisions={collisions}: {best:,.0f} "
+              f"drone-steps/s ({best / n:,.0f} control-steps/s) at N={n}",
+              flush=True)
 
 
 if __name__ == "__main__":

@@ -132,3 +132,61 @@ def test_pallas_downwash_matches_dense():
     got = np.asarray(dw(pos))
     np.testing.assert_allclose(got, dense, rtol=1e-4,
                                atol=1e-4 * max(1.0, np.abs(dense).max()))
+
+
+def test_swarm_soa_matches_aos_big_swarm():
+    """SoA coupled-swarm step (ops/swarm_soa.py) == AoS
+    make_big_swarm_physics on a wake-sane lattice, with and without contact
+    (interpret-mode Pallas on CPU)."""
+    import numpy as np
+
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel, Physics
+    from gym_pybullet_drones_tpu.ops.swarm_soa import (
+        make_swarm_step_soa,
+        swarm_soa_from_kin,
+        swarm_soa_to_kin,
+    )
+    from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
+
+    params = drone_params(DroneModel.CF2X)
+    n = 512
+    rng = np.random.RandomState(11)
+    g = np.stack(np.meshgrid(*[np.arange(8) * 0.5] * 3), -1).reshape(-1, 3)
+    pos = jnp.asarray((g + rng.uniform(-0.1, 0.1, g.shape)
+                       + [0, 0, 1.0]).astype(np.float32))
+    kin = init_kin_state(pos, jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    kin = kin.replace(vel=jnp.asarray(
+        rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)))
+    rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
+    rpm_cols = [rpm[:, m] for m in range(4)]
+
+    # co-planar overlapping pairs for the contact case: dz == 0 keeps the
+    # wake mask off between partners (the 1/dz^2 + narrow-beta regime turns
+    # any f32 contact-mask flip into meters; see test_collisions.py notes)
+    base = np.stack(np.meshgrid(np.arange(16) * 0.5, np.arange(16) * 0.5),
+                    -1).reshape(-1, 2)
+    xy = np.concatenate([base, base + [0.1, 0.0]], axis=0)
+    cpos = np.concatenate([xy, np.full((n, 1), 1.0)], 1).astype(np.float32)
+    ckin = init_kin_state(jnp.asarray(cpos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    cvel = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    cvel[:, 2] = 0.0
+    ckin = ckin.replace(vel=jnp.asarray(cvel))
+
+    for collisions, k0 in ((False, kin), (True, ckin)):
+        aos = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
+                                     collisions=collisions, interpret=True)
+        aos_kin, _ = aos(k0, rpm, rpm)
+        soa_step = make_swarm_step_soa(params, 1 / 240, 5,
+                                       collisions=collisions, interpret=True)
+        s = soa_step(swarm_soa_from_kin(k0), rpm_cols)
+        soa_kin = swarm_soa_to_kin(s, k0)
+        np.testing.assert_allclose(np.asarray(soa_kin.pos),
+                                   np.asarray(aos_kin.pos), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(soa_kin.vel),
+                                   np.asarray(aos_kin.vel), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(soa_kin.quat),
+                                   np.asarray(aos_kin.quat), atol=1e-6)

@@ -45,12 +45,17 @@ from gym_pybullet_drones_tpu.rl.warmstart import bc_pretrain
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("case", choices=["rpm4", "rgb"])
+    ap.add_argument("--multiagent", action="store_true",
+                    help="MultiHoverAviary (2 drones); rpm4 threshold 920")
     ap.add_argument("--steps", type=float, default=None)
     ap.add_argument("--num_envs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--anneal_to", type=float, default=-2.5)
     ap.add_argument("--bc", action="store_true",
                     help="behavior-clone the DSLPID-in-band expert first (rpm4)")
+    ap.add_argument("--bc_episodes", type=int, default=768)
+    ap.add_argument("--bc_steps", type=int, default=20000)
+    ap.add_argument("--bc_noise", type=float, default=0.25)
     ap.add_argument("--anneal_frac", type=float, default=0.6)
     ap.add_argument("--frame_stack", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -59,12 +64,17 @@ def main():
     os.makedirs(args.out, exist_ok=True)
 
     if args.case == "rpm4":
+        from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+        n_drones = 2 if args.multiagent else 1
         env_cfg = AviaryConfig(
-            num_drones=1, task=TASK_HOVER, action_type=ActionType.RPM,
+            num_drones=n_drones,
+            task=TASK_MULTIHOVER if args.multiagent else TASK_HOVER,
+            action_type=ActionType.RPM,
             obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
             action_buffer_size=15, episode_len_sec=8.0,
         )
-        threshold = 467.0
+        threshold = 920.0 if args.multiagent else 467.0  # learn.py:82
         total = int(args.steps or 3e7)
         num_envs = args.num_envs or 128
     else:
@@ -88,7 +98,9 @@ def main():
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(args.seed))
     if args.bc and args.case == "rpm4":
         runner, _ = bc_pretrain(env_cfg, runner, aux,
-                                jax.random.key(args.seed + 1))
+                                jax.random.key(args.seed + 1),
+                                episodes=args.bc_episodes,
+                                bc_steps=args.bc_steps, noise=args.bc_noise)
         ret0, n0 = evaluate_policy(env_cfg, aux, runner.params,
                                    num_steps=260, num_envs=4)
         print(f"[bc] post-BC deterministic eval {ret0:.1f} ({n0} eps)",

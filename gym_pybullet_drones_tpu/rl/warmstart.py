@@ -41,64 +41,100 @@ def dslpid_in_band_expert(env_cfg, aux):
 
 
 def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
-                bc_steps=20000, bc_batch=4096, log_std=-1.0, verbose=True):
+                bc_steps=20000, bc_batch=4096, log_std=-1.0,
+                dagger_rounds=0, verbose=True):
     """Clone the DSLPID-in-band expert into `runner.params`; returns the
-    updated runner (policy trunk + mean head fitted, log_std set) and rng."""
+    updated runner (policy trunk + mean head fitted, log_std set) and rng.
+
+    With ``dagger_rounds`` > 0, after the initial expert-rollout fit the
+    classic DAgger loop runs: collect episodes executing the CURRENT policy
+    (plus noise), label every visited state with the expert (whose PID state
+    rides along the policy's trajectory), aggregate into the dataset, refit.
+    This attacks the covariate shift that plain BC suffers on knife-edge
+    stabilization (good MSE, compounding closed-loop error)."""
     params_env = aux["params_env"]
     ctrl_params = aux["ctrl_params"]
     target = aux["target_pos"]
     expert = dslpid_in_band_expert(env_cfg, aux)
+    net = aux["network"]
     steps = int(env_cfg.episode_len_sec * env_cfg.ctrl_freq)
 
-    def one_episode(key):
-        env_state = envbase.reset(env_cfg, params_env)
-        cs = dsl_pid_reset((env_cfg.num_drones,))
+    def make_collect(policy_params):
+        """Episode collector; actions from the expert (policy_params None) or
+        from the current policy mean, noise added either way."""
 
-        def body(carry, k):
-            env_state, cs = carry
-            obs = envbase.compute_obs(env_cfg, env_state, params_env)
-            a_exp, cs = expert(env_state, cs)
-            a_exec = jnp.clip(
-                a_exp + noise * jax.random.normal(k, a_exp.shape), -1.0, 1.0)
-            env_state, *_ = envbase.step(env_cfg, params_env, ctrl_params,
-                                         target, env_state, a_exec)
-            return (env_state, cs), (obs.reshape(-1), a_exp.reshape(-1))
+        def one_episode(key):
+            env_state = envbase.reset(env_cfg, params_env)
+            cs = dsl_pid_reset((env_cfg.num_drones,))
 
-        _, (obs, acts) = jax.lax.scan(body, (env_state, cs),
-                                      jax.random.split(key, steps))
-        return obs, acts
+            def body(carry, k):
+                env_state, cs = carry
+                obs = envbase.compute_obs(env_cfg, env_state, params_env)
+                a_exp, cs = expert(env_state, cs)
+                if policy_params is None:
+                    a_drive = a_exp
+                else:
+                    mean, _, _ = net.apply(policy_params,
+                                           obs.reshape(1, -1))
+                    a_drive = mean.reshape(a_exp.shape)
+                a_exec = jnp.clip(
+                    a_drive + noise * jax.random.normal(k, a_exp.shape),
+                    -1.0, 1.0)
+                env_state, *_ = envbase.step(env_cfg, params_env, ctrl_params,
+                                             target, env_state, a_exec)
+                return (env_state, cs), (obs.reshape(-1), a_exp.reshape(-1))
+
+            _, (obs, acts) = jax.lax.scan(body, (env_state, cs),
+                                          jax.random.split(key, steps))
+            return obs, acts
+
+        return jax.jit(jax.vmap(one_episode))
+
+    def fit(params, X, Y, n_steps, rng):
+        tx = optax.adam(optax.linear_schedule(1e-3, 5e-5, n_steps))
+        opt = tx.init(params)
+
+        @jax.jit
+        def bc_step(params, opt, key):
+            idx = jax.random.randint(key, (bc_batch,), 0, X.shape[0])
+            xb, yb = X[idx], Y[idx]
+
+            def loss_fn(p):
+                mean, _, _ = net.apply(p, xb)
+                return jnp.mean((mean - yb) ** 2)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            upd, opt = tx.update(grads, opt, params)
+            return optax.apply_updates(params, upd), opt, loss
+
+        loss = None
+        for i in range(n_steps):
+            rng, k = jax.random.split(rng)
+            params, opt, loss = bc_step(params, opt, k)
+            if verbose and (i + 1) % 2000 == 0:
+                print(f"[bc] step {i+1}/{n_steps} mse {float(loss):.5f}",
+                      flush=True)
+        return params, rng
 
     rng, k = jax.random.split(rng)
-    obs, acts = jax.jit(jax.vmap(one_episode))(jax.random.split(k, episodes))
+    obs, acts = make_collect(None)(jax.random.split(k, episodes))
     X = obs.reshape(-1, obs.shape[-1])
     Y = acts.reshape(-1, acts.shape[-1])
     if verbose:
         print(f"[bc] dataset {X.shape[0]} samples", flush=True)
+    params, rng = fit(runner.params, X, Y, bc_steps, rng)
 
-    net = aux["network"]
-    params = runner.params
-    tx = optax.adam(optax.linear_schedule(1e-3, 5e-5, bc_steps))
-    opt = tx.init(params)
-
-    @jax.jit
-    def bc_step(params, opt, key):
-        idx = jax.random.randint(key, (bc_batch,), 0, X.shape[0])
-        xb, yb = X[idx], Y[idx]
-
-        def loss_fn(p):
-            mean, _, _ = net.apply(p, xb)
-            return jnp.mean((mean - yb) ** 2)
-
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        upd, opt = tx.update(grads, opt, params)
-        return optax.apply_updates(params, upd), opt, loss
-
-    for i in range(bc_steps):
+    for r in range(dagger_rounds):
         rng, k = jax.random.split(rng)
-        params, opt, loss = bc_step(params, opt, k)
-        if verbose and (i + 1) % 2000 == 0:
-            print(f"[bc] step {i+1}/{bc_steps} mse {float(loss):.5f}",
+        obs, acts = make_collect(params)(
+            jax.random.split(k, max(1, episodes // 2)))
+        X = jnp.concatenate([X, obs.reshape(-1, obs.shape[-1])])
+        Y = jnp.concatenate([Y, acts.reshape(-1, acts.shape[-1])])
+        if verbose:
+            print(f"[dagger {r+1}/{dagger_rounds}] dataset {X.shape[0]}",
                   flush=True)
+        params, rng = fit(params, X, Y, bc_steps // 2, rng)
+
     params = {**params,
               "params": {**params["params"],
                          "log_std": jnp.full_like(

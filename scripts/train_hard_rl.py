@@ -56,6 +56,7 @@ def main():
     ap.add_argument("--bc_episodes", type=int, default=768)
     ap.add_argument("--bc_steps", type=int, default=20000)
     ap.add_argument("--bc_noise", type=float, default=0.25)
+    ap.add_argument("--dagger", type=int, default=0)
     ap.add_argument("--anneal_frac", type=float, default=0.6)
     ap.add_argument("--frame_stack", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -100,7 +101,8 @@ def main():
         runner, _ = bc_pretrain(env_cfg, runner, aux,
                                 jax.random.key(args.seed + 1),
                                 episodes=args.bc_episodes,
-                                bc_steps=args.bc_steps, noise=args.bc_noise)
+                                bc_steps=args.bc_steps, noise=args.bc_noise,
+                                dagger_rounds=args.dagger)
         ret0, n0 = evaluate_policy(env_cfg, aux, runner.params,
                                    num_steps=260, num_envs=4)
         print(f"[bc] post-BC deterministic eval {ret0:.1f} ({n0} eps)",

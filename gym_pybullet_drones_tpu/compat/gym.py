@@ -131,6 +131,7 @@ class BaseAviaryEnv(gym.Env):
                 "envs.base.Aviary / runtime.rollout (docs/PERF.md).",
                 RuntimeWarning, stacklevel=3)
         self.GUI, self.RECORD, self.OBSTACLES = gui, record, obstacles
+        self._viewer = None
         self.OUTPUT_FOLDER = output_folder
         # Recording (BaseAviary._startVideoRecording, :523-537): with
         # record=True, drone-0 POV frames are ray-cast every CAPTURE_FREQ
@@ -258,9 +259,25 @@ class BaseAviaryEnv(gym.Env):
             self._frame_num += 1
         self._step_index += 1
 
+    def _maybe_view(self):
+        """gui=True: live 3-D fleet view (the PyBullet GUI stand-in,
+        utils/viz.LiveViewer), throttled to ~10 updates per sim-second."""
+        if not self.GUI:
+            return
+        if self._viewer is None:
+            from gym_pybullet_drones_tpu.utils.viz import LiveViewer
+
+            self._viewer = LiveViewer(self.NUM_DRONES)
+            self._view_every = max(1, self.CTRL_FREQ // 10)
+            self._view_index = 0
+        if self._view_index % self._view_every == 0:
+            self._viewer.update(np.asarray(self._state.kin.pos))
+        self._view_index += 1
+
     def step(self, action):
         action = np.asarray(action)
         self._state, obs, reward, term, trunc = self._jit_step(self._state, action)
+        self._maybe_view()
         self._maybe_record()
         return (
             self._np_obs(obs),
@@ -302,6 +319,9 @@ class BaseAviaryEnv(gym.Env):
         """Finalize a recording: mux the PNG frames into one playable video
         (the reference's MP4 capture, BaseAviary.py:523-537 — here H.264 MP4
         via ffmpeg when available, else the built-in MJPEG AVI muxer)."""
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
         if self.RECORD and self._record_dir is not None and self._frame_num > 0:
             from gym_pybullet_drones_tpu.utils.video import png_dir_to_video
 

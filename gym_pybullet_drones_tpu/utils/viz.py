@@ -66,3 +66,70 @@ def animate_trajectory(states, path: str, fps: int = 24, stride: int = 2,
     anim.save(path, writer="pillow", fps=fps)
     plt.close(fig)
     return path
+
+
+class LiveViewer:
+    """Interactive third-person 3-D fleet view — the stand-in for the
+    reference's PyBullet OpenGL window (`gui=True`, BaseAviary.py:148-168).
+
+    On an interactive matplotlib backend the window redraws in place
+    (non-blocking, `plt.pause`); on headless backends (Agg) each update is
+    captured as an RGB frame instead, retrievable via `frames` and muxable
+    with utils.video.encode_video — so `gui=True` is useful even over SSH.
+    """
+
+    def __init__(self, num_drones: int, bounds: float = 2.0,
+                 keep_frames: int = 300):
+        import matplotlib
+
+        self._interactive = matplotlib.get_backend().lower() not in (
+            "agg", "template")
+        import matplotlib.pyplot as plt
+
+        self._plt = plt
+        self.frames = []
+        self._keep = keep_frames
+        self.fig = plt.figure(figsize=(6, 5))
+        self.ax = self.fig.add_subplot(projection="3d")
+        self.ax.set_xlim(-bounds, bounds)
+        self.ax.set_ylim(-bounds, bounds)
+        self.ax.set_zlim(0, bounds)
+        self.ax.set_xlabel("x [m]")
+        self.ax.set_ylabel("y [m]")
+        self.ax.set_zlabel("z [m]")
+        cmap = plt.get_cmap("tab10")
+        self._dots = [self.ax.plot([], [], [], "o", color=cmap(j % 10),
+                                   markersize=6)[0]
+                      for j in range(num_drones)]
+        self._trails = [self.ax.plot([], [], [], "-", color=cmap(j % 10),
+                                     alpha=0.5, lw=1)[0]
+                        for j in range(num_drones)]
+        self._hist = [[] for _ in range(num_drones)]
+        if self._interactive:
+            plt.ion()
+            self.fig.show()
+
+    def update(self, pos, trail: int = 60):
+        """pos: (N, 3) world positions."""
+        import numpy as _np
+
+        pos = _np.asarray(pos)
+        for j, dot in enumerate(self._dots):
+            self._hist[j].append(pos[j])
+            self._hist[j] = self._hist[j][-trail:]
+            h = _np.asarray(self._hist[j])
+            dot.set_data([pos[j, 0]], [pos[j, 1]])
+            dot.set_3d_properties([pos[j, 2]])
+            self._trails[j].set_data(h[:, 0], h[:, 1])
+            self._trails[j].set_3d_properties(h[:, 2])
+        if self._interactive:
+            self.fig.canvas.draw_idle()
+            self._plt.pause(0.001)
+        else:
+            self.fig.canvas.draw()
+            buf = _np.asarray(self.fig.canvas.buffer_rgba())[:, :, :3]
+            self.frames.append(buf.copy())
+            self.frames = self.frames[-self._keep:]
+
+    def close(self):
+        self._plt.close(self.fig)

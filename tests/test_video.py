@@ -80,3 +80,24 @@ def test_png_dir_to_video(tmp_path):
         Image.fromarray(f).save(str(d / f"frame_{i}.png"))
     out = png_dir_to_video(str(d), fps=10)
     assert os.path.getsize(out) > 500
+
+
+def test_gui_live_viewer_headless_captures_frames(tmp_path):
+    """gui=True on a headless (Agg) backend: the LiveViewer stand-in for the
+    PyBullet window captures RGB frames instead of drawing a window."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=True)
+    from gym_pybullet_drones_tpu.compat.gym import CtrlAviary
+
+    env = CtrlAviary(gui=True)
+    env.reset()
+    hover = np.full((1, 4), env.HOVER_RPM, np.float32)
+    for _ in range(30):
+        env.step(hover)
+    assert env._viewer is not None
+    frames = env._viewer.frames
+    assert len(frames) >= 1
+    assert frames[0].ndim == 3 and frames[0].shape[2] == 3
+    env.close()
+    assert env._viewer is None

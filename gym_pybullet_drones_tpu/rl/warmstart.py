@@ -94,8 +94,11 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
         tx = optax.adam(optax.linear_schedule(1e-3, 5e-5, n_steps))
         opt = tx.init(params)
 
+        # X/Y are jit ARGUMENTS, not closure captures: a closed-over dataset
+        # becomes an embedded constant in the compiled program — hundreds of
+        # MB once DAgger aggregates, which overflows remote-compile requests.
         @jax.jit
-        def bc_step(params, opt, key):
+        def bc_step(params, opt, key, X, Y):
             idx = jax.random.randint(key, (bc_batch,), 0, X.shape[0])
             xb, yb = X[idx], Y[idx]
 
@@ -110,7 +113,7 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
         loss = None
         for i in range(n_steps):
             rng, k = jax.random.split(rng)
-            params, opt, loss = bc_step(params, opt, k)
+            params, opt, loss = bc_step(params, opt, k, X, Y)
             if verbose and (i + 1) % 2000 == 0:
                 print(f"[bc] step {i+1}/{n_steps} mse {float(loss):.5f}",
                       flush=True)

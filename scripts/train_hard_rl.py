@@ -57,6 +57,8 @@ def main():
     ap.add_argument("--bc_steps", type=int, default=20000)
     ap.add_argument("--bc_noise", type=float, default=0.25)
     ap.add_argument("--dagger", type=int, default=0)
+    ap.add_argument("--hidden", type=int, default=64,
+                    help="policy/value MLP width (SB3 default 64)")
     ap.add_argument("--anneal_frac", type=float, default=0.6)
     ap.add_argument("--frame_stack", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
@@ -92,7 +94,7 @@ def main():
     updates = max(1, total // (num_envs * 128))
     ppo_cfg = PPOConfig(
         num_envs=num_envs, n_steps=128, minibatch_size=1024,
-        learning_rate=args.lr,
+        learning_rate=args.lr, hidden=(args.hidden, args.hidden),
         log_std_anneal_to=(args.anneal_to if args.case == "rpm4" else None),
         log_std_anneal_updates=int(updates * args.anneal_frac),
     )

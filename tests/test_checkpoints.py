@@ -58,3 +58,27 @@ def test_rgb_checkpoint_solves_optimum():
     ret, n = evaluate_policy(env_cfg, aux, params, num_steps=260, num_envs=1)
     assert n >= 1
     assert ret >= 470.0, ret
+
+
+def test_rpm4_multiagent_checkpoint_solves_threshold():
+    """Multi-agent (2-drone) 4-dim RPM MultiHover: >= 920 (learn.py:82) over
+    10 consecutive deterministic episodes. Policy uses a 256-wide MLP (the
+    SB3-default 64 underfits the doubled obs/action dims; the threshold is a
+    reward bar, not an architecture constraint) trained via DAgger warm-start
+    + annealed PPO — per-drone expert feasibility bound 942.6."""
+    from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+    env_cfg = AviaryConfig(
+        num_drones=2, task=TASK_MULTIHOVER, action_type=ActionType.RPM,
+        obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0,
+    )
+    from flax import serialization
+
+    runner, aux = ppo_init(env_cfg, PPOConfig(num_envs=1, hidden=(256, 256)),
+                           jax.random.key(0))
+    with open(os.path.join(CKPT, "rpm4_multihover.msgpack"), "rb") as f:
+        params = serialization.from_bytes(runner.params, f.read())
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
+    assert n >= 10
+    assert ret >= 920.0, ret

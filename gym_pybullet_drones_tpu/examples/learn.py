@@ -83,20 +83,29 @@ def run(
     total_steps = int(5e6) if local else int(1e2)
     # 4-dim RPM is a knife-edge stabilization task: warm-start from the
     # DSLPID-in-band expert and anneal the exploration noise away so the
-    # deterministic policy must stabilize on its own (docs/ROUND2.md item 4)
-    hard_rpm = act == ActionType.RPM and not multiagent
+    # deterministic policy must stabilize on its own. Multiagent doubles the
+    # obs/action dims — SB3's 64-wide MLP underfits there, so it gets a
+    # 256-wide net plus DAgger rounds (docs/ROUND2.md item 4 + stretch).
+    hard_rpm = act == ActionType.RPM
     ppo_cfg = PPOConfig(
         num_envs=num_envs, n_steps=128, minibatch_size=1024,
         learning_rate=1e-4 if hard_rpm else 3e-4,
-        log_std_anneal_to=-3.0 if hard_rpm else None,
+        hidden=(256, 256) if (hard_rpm and multiagent) else (64, 64),
+        log_std_anneal_to=(
+            (-2.0 if multiagent else -3.0) if hard_rpm else None),
         log_std_anneal_updates=max(
-            1, int(0.4 * (total_steps // (num_envs * 128)))),
+            1, int((0.9 if multiagent else 0.4)
+                   * (total_steps // (num_envs * 128)))),
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))
     if hard_rpm and local:
         from gym_pybullet_drones_tpu.rl.warmstart import bc_pretrain
 
-        runner, _ = bc_pretrain(env_cfg, runner, aux, jax.random.key(seed + 1))
+        runner, _ = bc_pretrain(
+            env_cfg, runner, aux, jax.random.key(seed + 1),
+            episodes=512 if multiagent else 768,
+            noise=0.2 if multiagent else 0.25,
+            dagger_rounds=2 if multiagent else 0)
     train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux), donate_argnums=(0,))
 
     updates = max(1, total_steps // ppo_cfg.batch_size)

@@ -26,12 +26,9 @@ import jax.numpy as jnp
 from gym_pybullet_drones_tpu.core.params import DroneParams
 from gym_pybullet_drones_tpu.ops.velocity_soa import (
     _rot_cols_from_quat,
+    physics_consts,
     physics_substep_soa,
 )
-
-SWARM_SOA_KEYS = ("px", "py", "pz", "qx", "qy", "qz", "qw",
-                  "vx", "vy", "vz", "wx", "wy", "wz")
-
 
 def swarm_soa_from_kin(kin) -> Dict[str, jax.Array]:
     """KinState (leaves (N, d)) -> dict of (N,) columns."""
@@ -48,25 +45,23 @@ def swarm_soa_from_kin(kin) -> Dict[str, jax.Array]:
 
 
 def swarm_soa_to_kin(s: Dict[str, jax.Array], template):
-    """dict of (N,) columns -> KinState with the template's rpy_rates."""
+    """dict of (N,) columns -> KinState.
+
+    rpy_rates follows `core/dynamics.substep_pyb`: R(quat)^T @ ang_v.
+    """
     pack = lambda ks: jnp.stack([s[k] for k in ks], -1)
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rot_cols_from_quat(
+        s["qx"], s["qy"], s["qz"], s["qw"])
+    wx, wy, wz = s["wx"], s["wy"], s["wz"]
+    rpy_rates = jnp.stack([r00 * wx + r10 * wy + r20 * wz,
+                           r01 * wx + r11 * wy + r21 * wz,
+                           r02 * wx + r12 * wy + r22 * wz], -1)
     return template.replace(
         pos=pack(("px", "py", "pz")),
         quat=pack(("qx", "qy", "qz", "qw")),
         vel=pack(("vx", "vy", "vz")),
         ang_v=pack(("wx", "wy", "wz")),
-    )
-
-
-def swarm_consts(dp: DroneParams) -> Dict[str, object]:
-    """Physics constants as plain floats (run OUTSIDE jit)."""
-    return dict(
-        kf=float(dp.kf), km=float(dp.km), yaw_sign=float(dp.yaw_sign),
-        m_=float(dp.m), g_=float(dp.g),
-        J=[float(dp.J[i, i]) for i in range(3)],
-        Jinv=[float(dp.J_inv[i, i]) for i in range(3)],
-        offs=[[float(dp.prop_offsets[p_, k]) for k in range(3)] for p_ in range(4)],
-        z_min=float(dp.collision_h) / 2.0 - float(dp.collision_z_offset),
+        rpy_rates=rpy_rates,
     )
 
 
@@ -78,7 +73,7 @@ def make_swarm_step_soa(params: DroneParams, dt, n_substeps: int,
     from gym_pybullet_drones_tpu.ops.interact_pallas import make_interact_pallas
     from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
 
-    c = swarm_consts(params)
+    c = physics_consts(params)
     m_ = c["m_"]
     dw_fn = make_downwash_pallas(params, interpret=interpret)
     interact_fn = (make_interact_pallas(params, interpret=interpret)

@@ -113,6 +113,14 @@ def soa_consts(cp: DSLPIDParams, dp: DroneParams) -> Dict[str, object]:
         scale=float(cp.pwm2rpm_scale), const=float(cp.pwm2rpm_const),
         min_pwm=float(cp.min_pwm), max_pwm=float(cp.max_pwm),
         kf_c=float(cp.kf), grav=float(cp.gravity),
+        # physics half shared with the SoA swarm step (ops/swarm_soa.py)
+        **physics_consts(dp),
+    )
+
+
+def physics_consts(dp: DroneParams) -> Dict[str, object]:
+    """`physics_substep_soa`'s constants as plain floats (run OUTSIDE jit)."""
+    return dict(
         kf=float(dp.kf), km=float(dp.km), yaw_sign=float(dp.yaw_sign),
         m_=float(dp.m), g_=float(dp.g),
         J=[float(dp.J[i, i]) for i in range(3)],

@@ -59,36 +59,33 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
     net = aux["network"]
     steps = int(env_cfg.episode_len_sec * env_cfg.ctrl_freq)
 
-    def make_collect(policy_params):
-        """Episode collector; actions from the expert (policy_params None) or
-        from the current policy mean, noise added either way."""
+    # Policy params are a traced ARGUMENT, not a closure capture: closing over
+    # them would bake them in as compiled constants and force a full retrace
+    # of the vmapped-scan collection every DAgger round (~10 min each over the
+    # TPU tunnel, CLAUDE.md). `use_policy` selects expert vs policy drive; the
+    # policy forward always runs (a small MLP, negligible next to the scan).
+    def one_episode(policy_params, use_policy, key):
+        env_state = envbase.reset(env_cfg, params_env)
+        cs = dsl_pid_reset((env_cfg.num_drones,))
 
-        def one_episode(key):
-            env_state = envbase.reset(env_cfg, params_env)
-            cs = dsl_pid_reset((env_cfg.num_drones,))
+        def body(carry, k):
+            env_state, cs = carry
+            obs = envbase.compute_obs(env_cfg, env_state, params_env)
+            a_exp, cs = expert(env_state, cs)
+            mean, _, _ = net.apply(policy_params, obs.reshape(1, -1))
+            a_drive = jnp.where(use_policy, mean.reshape(a_exp.shape), a_exp)
+            a_exec = jnp.clip(
+                a_drive + noise * jax.random.normal(k, a_exp.shape),
+                -1.0, 1.0)
+            env_state, *_ = envbase.step(env_cfg, params_env, ctrl_params,
+                                         target, env_state, a_exec)
+            return (env_state, cs), (obs.reshape(-1), a_exp.reshape(-1))
 
-            def body(carry, k):
-                env_state, cs = carry
-                obs = envbase.compute_obs(env_cfg, env_state, params_env)
-                a_exp, cs = expert(env_state, cs)
-                if policy_params is None:
-                    a_drive = a_exp
-                else:
-                    mean, _, _ = net.apply(policy_params,
-                                           obs.reshape(1, -1))
-                    a_drive = mean.reshape(a_exp.shape)
-                a_exec = jnp.clip(
-                    a_drive + noise * jax.random.normal(k, a_exp.shape),
-                    -1.0, 1.0)
-                env_state, *_ = envbase.step(env_cfg, params_env, ctrl_params,
-                                             target, env_state, a_exec)
-                return (env_state, cs), (obs.reshape(-1), a_exp.reshape(-1))
+        _, (obs, acts) = jax.lax.scan(body, (env_state, cs),
+                                      jax.random.split(key, steps))
+        return obs, acts
 
-            _, (obs, acts) = jax.lax.scan(body, (env_state, cs),
-                                          jax.random.split(key, steps))
-            return obs, acts
-
-        return jax.jit(jax.vmap(one_episode))
+    collect = jax.jit(jax.vmap(one_episode, in_axes=(None, None, 0)))
 
     def fit(params, X, Y, n_steps, rng):
         tx = optax.adam(optax.linear_schedule(1e-3, 5e-5, n_steps))
@@ -120,7 +117,8 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
         return params, rng
 
     rng, k = jax.random.split(rng)
-    obs, acts = make_collect(None)(jax.random.split(k, episodes))
+    obs, acts = collect(runner.params, jnp.asarray(False),
+                        jax.random.split(k, episodes))
     X = obs.reshape(-1, obs.shape[-1])
     Y = acts.reshape(-1, acts.shape[-1])
     if verbose:
@@ -129,8 +127,8 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
 
     for r in range(dagger_rounds):
         rng, k = jax.random.split(rng)
-        obs, acts = make_collect(params)(
-            jax.random.split(k, max(1, episodes // 2)))
+        obs, acts = collect(params, jnp.asarray(True),
+                            jax.random.split(k, max(1, episodes // 2)))
         X = jnp.concatenate([X, obs.reshape(-1, obs.shape[-1])])
         Y = jnp.concatenate([Y, acts.reshape(-1, acts.shape[-1])])
         if verbose:

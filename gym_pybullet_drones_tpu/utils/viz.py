@@ -82,8 +82,13 @@ class LiveViewer:
                  keep_frames: int = 300):
         import matplotlib
 
-        self._interactive = matplotlib.get_backend().lower() not in (
-            "agg", "template")
+        # Window path only on backends that can actually show one; any other
+        # non-GUI backend (agg, pdf, svg, ps, cairo, inline, template, ...)
+        # falls back to frame capture.
+        backend = matplotlib.get_backend().lower()
+        self._interactive = any(
+            gui in backend
+            for gui in ("qt", "gtk", "tk", "wx", "macosx", "nbagg", "webagg"))
         import matplotlib.pyplot as plt
 
         self._plt = plt
@@ -108,6 +113,12 @@ class LiveViewer:
         if self._interactive:
             plt.ion()
             self.fig.show()
+        elif not hasattr(self.fig.canvas, "buffer_rgba"):
+            # Vector backends (pdf/svg/ps) have no pixel buffer — swap in an
+            # Agg canvas so frame capture works under any non-GUI backend.
+            from matplotlib.backends.backend_agg import FigureCanvasAgg
+
+            FigureCanvasAgg(self.fig)
 
     def update(self, pos, trail: int = 60):
         """pos: (N, 3) world positions."""

@@ -64,6 +64,8 @@ def main():
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--out", default="results")
     args = ap.parse_args()
+    if args.multiagent and args.case != "rpm4":
+        ap.error("--multiagent is only wired for the rpm4 case")
     os.makedirs(args.out, exist_ok=True)
 
     if args.case == "rpm4":

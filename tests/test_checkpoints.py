@@ -20,10 +20,11 @@ CKPT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "checkpoints")
 
 
-def _load(env_cfg, name):
+def _load(env_cfg, name, ppo_cfg=None):
     from flax import serialization
 
-    runner, aux = ppo_init(env_cfg, PPOConfig(num_envs=1), jax.random.key(0))
+    runner, aux = ppo_init(env_cfg, ppo_cfg or PPOConfig(num_envs=1),
+                           jax.random.key(0))
     with open(os.path.join(CKPT, name), "rb") as f:
         params = serialization.from_bytes(runner.params, f.read())
     return params, aux
@@ -73,12 +74,8 @@ def test_rpm4_multiagent_checkpoint_solves_threshold():
         obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
         action_buffer_size=15, episode_len_sec=8.0,
     )
-    from flax import serialization
-
-    runner, aux = ppo_init(env_cfg, PPOConfig(num_envs=1, hidden=(256, 256)),
-                           jax.random.key(0))
-    with open(os.path.join(CKPT, "rpm4_multihover.msgpack"), "rb") as f:
-        params = serialization.from_bytes(runner.params, f.read())
+    params, aux = _load(env_cfg, "rpm4_multihover.msgpack",
+                        PPOConfig(num_envs=1, hidden=(256, 256)))
     ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
     assert n >= 10
     assert ret >= 920.0, ret

@@ -190,3 +190,7 @@ def test_swarm_soa_matches_aos_big_swarm():
                                    np.asarray(aos_kin.vel), atol=1e-4)
         np.testing.assert_allclose(np.asarray(soa_kin.quat),
                                    np.asarray(aos_kin.quat), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(soa_kin.ang_v),
+                                   np.asarray(aos_kin.ang_v), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(soa_kin.rpy_rates),
+                                   np.asarray(aos_kin.rpy_rates), atol=1e-4)

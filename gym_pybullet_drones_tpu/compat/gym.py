@@ -351,6 +351,30 @@ class BaseAviaryEnv(gym.Env):
             envbase.adjacency_matrix(self._state.kin.pos, self.NEIGHBOURHOOD_RADIUS)
         )
 
+    def _getDroneImages(self, nth_drone: int, segmentation: bool = True):
+        """Camera captures from the n-th drone POV (BaseAviary.py:565-617):
+        (h, w, 4) uint8 RGBA, (h, w) depth, (h, w) segmentation — rendered by
+        the on-device ray-cast camera instead of PyBullet's TinyRenderer.
+        ``segmentation`` is accepted for signature parity (the ray caster
+        produces the mask at no extra cost)."""
+        from gym_pybullet_drones_tpu.render.camera import (
+            CameraConfig, render_drone_views)
+
+        kin = self._state.kin
+        cfg = CameraConfig(width=int(self.IMG_RES[0]),
+                           height=int(self.IMG_RES[1]))
+        rgb, dep, seg = render_drone_views(kin.pos, kin.quat,
+                                           float(self.L), cfg)
+        return (np.asarray(rgb[nth_drone]), np.asarray(dep[nth_drone]),
+                np.asarray(seg[nth_drone]))
+
+    def _exportImage(self, img_type, img_input, path: str,
+                     frame_num: int = 0):
+        """Save a capture as ``frame_<num>.png`` (BaseAviary.py:621-654)."""
+        from gym_pybullet_drones_tpu.render.camera import export_image
+
+        export_image(img_type, img_input, path, frame_num)
+
 
 class CtrlAviary(BaseAviaryEnv):
     """Direct-RPM control env (reference envs/CtrlAviary.py)."""

@@ -128,3 +128,27 @@ def test_rgb_capture_frequency_holds_frames():
         if t % 5 != 0:
             assert not changed, f"frame changed on hold step {t}"
     assert changes[5] and changes[10], "no fresh frame on capture steps"
+
+
+def test_compat_drone_images_and_export(tmp_path):
+    """BaseAviaryEnv._getDroneImages / _exportImage (BaseAviary.py:565-654):
+    reference shapes/dtypes and the frame_<n>.png export for every
+    ImageType."""
+    import os
+
+    from gym_pybullet_drones_tpu.compat.gym import CtrlAviary
+    from gym_pybullet_drones_tpu.envs.spec import ImageType
+
+    env = CtrlAviary(num_drones=2)
+    env.reset(seed=0)
+    rgb, dep, seg = env._getDroneImages(1)
+    w, h = env.IMG_RES
+    assert rgb.shape == (h, w, 4) and rgb.dtype == np.uint8
+    assert dep.shape == (h, w)
+    assert seg.shape == (h, w)
+    for i, (img_type, img) in enumerate(
+            ((ImageType.RGB, rgb), (ImageType.DEP, dep),
+             (ImageType.SEG, seg), (ImageType.BW, rgb))):
+        env._exportImage(img_type, img, str(tmp_path), i)
+        assert os.path.exists(tmp_path / f"frame_{i}.png")
+    env.close()

@@ -375,6 +375,16 @@ class BaseAviaryEnv(gym.Env):
 
         export_image(img_type, img_input, path, frame_num)
 
+    def _normalizedActionToRPM(self, action):
+        """Piecewise de-normalization of [-1, 1] to [0, MAX_RPM]:
+        -1 -> 0, 0 -> HOVER_RPM, 1 -> MAX_RPM (BaseAviary.py:896-915)."""
+        action = np.asarray(action)
+        if np.any(np.abs(action) > 1):
+            print(f"\n[ERROR] it {self.step_counter} in "
+                  "BaseAviaryEnv._normalizedActionToRPM(), out-of-bound action")
+        return np.where(action <= 0, (action + 1) * self.HOVER_RPM,
+                        self.HOVER_RPM + (self.MAX_RPM - self.HOVER_RPM) * action)
+
 
 class CtrlAviary(BaseAviaryEnv):
     """Direct-RPM control env (reference envs/CtrlAviary.py)."""

@@ -277,3 +277,19 @@ def test_compat_space_bounds_match_reference_numbers():
     np.testing.assert_allclose(h.observation_space.low[0, 2], 0.0)
     np.testing.assert_allclose(h.observation_space.low[0, 12:], -1.0)
     np.testing.assert_allclose(h.observation_space.high[0, 12:], 1.0)
+
+
+def test_compat_normalized_action_to_rpm():
+    """_normalizedActionToRPM piecewise map (BaseAviary.py:896-915):
+    -1 -> 0, 0 -> HOVER_RPM, 1 -> MAX_RPM, linear on each side."""
+    import numpy as np
+    from gym_pybullet_drones_tpu.compat.gym import CtrlAviary
+
+    env = CtrlAviary(num_drones=1)
+    rpm = env._normalizedActionToRPM(np.array([-1.0, 0.0, 1.0, 0.5]))
+    np.testing.assert_allclose(
+        rpm, [0.0, env.HOVER_RPM, env.MAX_RPM,
+              env.HOVER_RPM + 0.5 * (env.MAX_RPM - env.HOVER_RPM)], rtol=1e-6)
+    np.testing.assert_allclose(env._normalizedActionToRPM(np.full(4, -0.5)),
+                               0.5 * env.HOVER_RPM, rtol=1e-6)
+    env.close()

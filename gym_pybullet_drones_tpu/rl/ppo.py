@@ -166,8 +166,16 @@ def _gaussian_log_prob(mean, log_std, action):
 
 
 def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
-             params_env=None, ctrl_params=None, target_pos=None):
-    """Initial `PPORunnerState` plus the (network, optimizer) pair."""
+             params_env=None, ctrl_params=None, target_pos=None,
+             domain_rand=None):
+    """Initial `PPORunnerState` plus the (network, optimizer) pair.
+
+    ``domain_rand`` is an optional `core.params.randomize_params` spec (e.g.
+    ``{"m": 0.1, "kf": 0.05}``): each training env then steps its own
+    perturbed plant (aux["train_params_env"], picked up by
+    `make_ppo_train_step`) while evaluation and the controller constants stay
+    nominal — the standard sim2real protocol.
+    """
     params_env = envbase.build_params(env_cfg) if params_env is None else params_env
     ctrl_params = envbase.build_ctrl_params(env_cfg) if ctrl_params is None else ctrl_params
     if target_pos is None:
@@ -205,6 +213,13 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
     )
     aux = dict(network=network, tx=tx, params_env=params_env,
                ctrl_params=ctrl_params, target_pos=target_pos)
+    if domain_rand:
+        from gym_pybullet_drones_tpu.core.params import randomize_params
+
+        rng, dr_key = jax.random.split(runner.rng)
+        aux["train_params_env"] = randomize_params(
+            dr_key, params_env, ppo_cfg.num_envs, domain_rand)
+        runner = runner.replace(rng=rng)
     return runner, aux
 
 
@@ -213,8 +228,8 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
     cycle, fully jittable (wrap in `jax.jit` or pjit with sharded env axis)."""
     network, tx = aux["network"], aux["tx"]
     step_env = make_batched_step(
-        env_cfg, aux["params_env"], aux["ctrl_params"], aux["target_pos"],
-        auto_reset=True,
+        env_cfg, aux.get("train_params_env", aux["params_env"]),
+        aux["ctrl_params"], aux["target_pos"], auto_reset=True,
     )
     n_drones, act_per = env_cfg.num_drones, env_cfg.action_dim
 

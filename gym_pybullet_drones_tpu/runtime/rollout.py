@@ -49,14 +49,31 @@ def tree_where(mask, a, b):
     return jax.tree.map(sel, a, b)
 
 
+def params_are_batched(params) -> bool:
+    """True for a per-env randomized DroneParams pytree
+    (`core.params.randomize_params`): mass carries a leading env axis."""
+    return jnp.ndim(params.m) > 0
+
+
+def nominal_params(params):
+    """Env-0 slice of a batched params pytree (identity when unbatched).
+    Randomization never touches geometry, so env 0's spawn grid / camera
+    constants stand in for the whole batch."""
+    if not params_are_batched(params):
+        return params
+    return jax.tree.map(lambda x: x[0], params)
+
+
 def batch_reset(cfg: AviaryConfig, params, num_envs: int) -> AviaryState:
     """A batch of `num_envs` freshly-reset envs (leaves shaped (E, ...)).
 
     The reference reset is deterministic (BaseAviary.py:220-255 ignores the
     seed for state randomization), so the batched reset is a broadcast of the
-    single initial state.
+    single initial state. Domain-randomized (batched) params reset from the
+    nominal geometry — the initial pose depends only on never-randomized
+    fields (arm, collision shape).
     """
-    single = envbase.reset(cfg, params)
+    single = envbase.reset(cfg, nominal_params(params))
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), single
     )
@@ -86,9 +103,17 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
     (learn.py:83-95). With `reset_on_nan`, a non-finite env is truncated and
     reset in place of propagating NaNs through the batch.
     """
-    single_step = partial(envbase.step, cfg, params, ctrl_params, target_pos)
-    vstep = jax.vmap(single_step)
-    init_state = envbase.reset(cfg, params)
+    if params_are_batched(params):
+        # Domain randomization (core.params.randomize_params): each env steps
+        # its own perturbed plant; the controller/task constants stay nominal.
+        vstep = jax.vmap(
+            lambda p, s, a: envbase.step(cfg, p, ctrl_params, target_pos, s, a),
+            in_axes=(0, 0, 0))
+        vstep = partial(vstep, params)
+    else:
+        vstep = jax.vmap(partial(envbase.step, cfg, params, ctrl_params,
+                                 target_pos))
+    init_state = envbase.reset(cfg, nominal_params(params))
     init_obs = envbase.compute_obs(cfg, init_state)
 
     def step(state: AviaryState, action):

@@ -127,3 +127,39 @@ def test_ppo_train_step_with_domain_rand():
     # same initial obs everywhere, but perturbed plants diverge the batch
     pos = np.asarray(runner.env_state.kin.pos[:, 0, 2])
     assert np.unique(pos).size > 1
+
+
+def test_sharded_step_with_randomized_params_matches_dense():
+    """Randomized-params batch sharded over the 8-device mesh == the dense
+    (unsharded) step to f32 round-off (the two compilations fuse
+    differently): the params batch axis partitions with the env axis."""
+    from jax.sharding import PartitionSpec as P
+
+    from gym_pybullet_drones_tpu.runtime import mesh as meshmod
+
+    cfg = AviaryConfig(num_drones=1, task=TASK_CTRL, pyb_freq=240,
+                      ctrl_freq=48, initial_xyzs=[[0.0, 0.0, 1.0]])
+    nominal = envbase.build_params(cfg)
+    ctrl = envbase.build_ctrl_params(cfg)
+    E = 16
+    p = randomize_params(jax.random.key(5), nominal, E, {"m": 0.2, "kf": 0.1})
+
+    state = batch_reset(cfg, p, E)
+    action = jnp.broadcast_to(nominal.hover_rpm, (E, 1, 4))
+    dense_step = jax.jit(make_batched_step(cfg, p, ctrl, None,
+                                           auto_reset=False))
+    dense, _ = dense_step(state, action)
+
+    mesh = meshmod.make_mesh()
+    sstate = meshmod.shard_env_batch(mesh, state)
+    saction = jax.device_put(action, meshmod.env_sharding(mesh))
+    step = meshmod.make_sharded_batched_step(cfg, p, ctrl, None, mesh,
+                                             auto_reset=False, donate=False)
+    sharded, out = step(sstate, saction)
+    assert out.obs.sharding.spec == P("env")
+    np.testing.assert_allclose(np.asarray(sharded.kin.pos),
+                               np.asarray(dense.kin.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.kin.vel),
+                               np.asarray(dense.kin.vel), atol=1e-6)
+    # the divergence across envs proves each shard stepped its own plant
+    assert np.unique(np.asarray(sharded.kin.vel[:, 0, 2])).size > 1

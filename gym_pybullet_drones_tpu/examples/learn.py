@@ -73,12 +73,15 @@ def run(
         target_reward = 920.0 if multiagent else 467.0
 
     # Settings that reach eval return ~472 on HoverAviary/ONE_D_RPM within
-    # ~1M env steps (<1 min on one TPU chip). 472 is effectively optimal for
-    # this action type under this physics: ONE_D_RPM caps RPM at +-5% around
-    # hover (BaseRLAviary.py:224-225), limiting climb acceleration to
-    # ~1 m/s^2, and a hand-optimized bang-bang + PD policy scores 470.2 —
-    # PPO beats it. The reference's 474 threshold was calibrated on SB3 +
-    # PyBullet and is never verified by its own CI (test budget = 100 steps).
+    # ~1M env steps (<1 min on one TPU chip). 472 IS optimal for this action
+    # type under this physics: ONE_D_RPM commands equal RPMs (zero torque,
+    # BaseRLAviary.py:224-225), reducing the dynamics to a 2-state vertical
+    # system whose backward-induction optimum is CERTIFIED at 472.28 single /
+    # 465.33 + 481.28 = 946.61 multiagent (scripts/one_d_rpm_dp.py) — both
+    # reference thresholds (474 / 949.5) sit strictly ABOVE the certified
+    # optima; they were calibrated on SB3 + PyBullet and are never verified
+    # by the reference's own CI (test budget = 100 steps). The trained
+    # policies land within ~0.1 of the optima (472.16 / 946.6).
     # Training budget: ~5M env-steps locally, 100 steps in CI (learn.py:93)
     total_steps = int(5e6) if local else int(1e2)
     # 4-dim RPM is a knife-edge stabilization task: warm-start from the

@@ -363,10 +363,12 @@ class BaseAviaryEnv(gym.Env):
         kin = self._state.kin
         cfg = CameraConfig(width=int(self.IMG_RES[0]),
                            height=int(self.IMG_RES[1]))
-        rgb, dep, seg = render_drone_views(kin.pos, kin.quat,
-                                           float(self.L), cfg)
-        return (np.asarray(rgb[nth_drone]), np.asarray(dep[nth_drone]),
-                np.asarray(seg[nth_drone]))
+        # cam_indices renders only the requested view (the reference's
+        # per-drone capture loop would otherwise cost N views per call)
+        # while all N drones stay in the scene with their global seg ids.
+        rgb, dep, seg = render_drone_views(kin.pos, kin.quat, float(self.L),
+                                           cfg, cam_indices=nth_drone)
+        return np.asarray(rgb[0]), np.asarray(dep[0]), np.asarray(seg[0])
 
     def _exportImage(self, img_type, img_input, path: str,
                      frame_num: int = 0):

@@ -285,9 +285,7 @@ def from_urdf(path: str, model: DroneModel = DroneModel.CF2X, dtype=jnp.float32)
     return _build(table, model, dtype)
 
 
-# Fractional-jitter spec keys -> the base fields they scale. Derived constants
-# (gravity, hover/max RPM, torque/thrust caps, ground-effect clip, J_inv) are
-# recomputed per env so the randomized pytree stays self-consistent.
+# Fractional-jitter spec keys -> the base PLANT fields they scale.
 RANDOMIZABLE = ("m", "kf", "km", "inertia", "drag", "gnd_eff_coeff",
                 "dw_coeff_1")
 
@@ -303,10 +301,21 @@ def randomize_params(key: jax.Array, params: DroneParams, num_envs: int,
     collision shape) is never randomized — it would change the mixer/spawn
     grid, which the reference derives from the URDF at load time.
 
+    Only the TRUE PLANT is perturbed. The derived actuator/software constants
+    — hover_rpm, max_rpm, thrust/torque caps, gnd_eff_h_clip, gravity — stay
+    NOMINAL on purpose: they parameterize the software side (the normalized
+    action de-normalization `hover_rpm*(1+0.05a)` of BaseRLAviary.py:192/224
+    and the RPM clip), i.e. the flight stack's *calibration*, which in a
+    sim2real setting does not know the perturbed plant. Recomputing them from
+    the perturbed m/kf would exactly cancel the perturbation for the
+    RPM-normalized action types (accel = 4*kf*hover_rpm'^2*(1+0.05a)^2/m - g
+    = g*((1+0.05a)^2 - 1) regardless of m', kf'), silently turning the
+    randomization into a no-op. For the same reason controllers keep nominal
+    ctrl_params. The reference has no equivalent (PyBullet bodies load fixed
+    URDF constants).
+
     The result vmaps directly over the leading axis (`runtime/rollout`
-    auto-detects it); controllers should keep the NOMINAL params — a sim2real
-    controller does not know the perturbed plant. The reference has no
-    equivalent (PyBullet bodies load fixed URDF constants).
+    auto-detects it).
     """
     unknown = set(spec) - set(RANDOMIZABLE)
     if unknown:
@@ -319,46 +328,19 @@ def randomize_params(key: jax.Array, params: DroneParams, num_envs: int,
     keys = dict(zip(sorted(spec), jax.random.split(key, max(len(spec), 1))))
 
     def mult(name):
-        if name not in spec:
-            return jnp.ones((E,), dtype=params.m.dtype)
         f = float(spec[name])
         return 1.0 + f * jax.random.uniform(
             keys[name], (E,), dtype=params.m.dtype, minval=-1.0, maxval=1.0)
 
-    # Replace only the blocks a spec key touches: untouched fields keep the
-    # exact (f64-built) nominal values instead of picking up f32-recompute
-    # round-off.
     rep = {}
+    for field in ("m", "kf", "km", "gnd_eff_coeff", "dw_coeff_1"):
+        if field in spec:
+            rep[field] = getattr(params, field) * mult(field)
     if "inertia" in spec:
         j_mult = mult("inertia")
         rep.update(J=params.J * j_mult[:, None, None],
                    J_inv=params.J_inv / j_mult[:, None, None])
     if "drag" in spec:
         rep.update(drag_coeff=params.drag_coeff * mult("drag")[:, None])
-    if "dw_coeff_1" in spec:
-        rep.update(dw_coeff_1=params.dw_coeff_1 * mult("dw_coeff_1"))
-    gnd_eff_coeff = params.gnd_eff_coeff * mult("gnd_eff_coeff")
-    if "gnd_eff_coeff" in spec:
-        rep.update(gnd_eff_coeff=gnd_eff_coeff)
-    if {"m", "kf", "km", "gnd_eff_coeff"} & set(spec):
-        m = params.m * mult("m")
-        kf = params.kf * mult("kf")
-        km = params.km * mult("km")
-        # Derived constants, recomputed exactly as _build does (vectorized)
-        gravity = m * params.g
-        hover_rpm = jnp.sqrt(gravity / (4.0 * kf))
-        max_rpm = jnp.sqrt((params.thrust2weight * gravity) / (4.0 * kf))
-        max_thrust = 4.0 * kf * max_rpm**2
-        max_xy_torque = jnp.where(
-            params.model_index == 1,  # CF2P (+ formation)
-            params.arm * kf * max_rpm**2,
-            (2.0 * params.arm * kf * max_rpm**2) / jnp.sqrt(2.0))
-        max_z_torque = 2.0 * km * max_rpm**2
-        rep.update(
-            m=m, kf=kf, km=km, gravity=gravity, hover_rpm=hover_rpm,
-            max_rpm=max_rpm, max_thrust=max_thrust,
-            max_xy_torque=max_xy_torque, max_z_torque=max_z_torque,
-            gnd_eff_h_clip=0.25 * params.prop_radius * jnp.sqrt(
-                (15.0 * max_rpm**2 * kf * gnd_eff_coeff) / max_thrust))
 
     return batched.replace(**rep) if rep else batched

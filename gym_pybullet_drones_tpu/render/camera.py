@@ -63,18 +63,26 @@ def _ray_sphere(origin, direction, center, radius):
     return jnp.where((disc > 0) & (t > 1e-4), t, jnp.inf)
 
 
-def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig()):
-    """(N,3) positions + (N,4) xyzw quats -> (rgb (N,H,W,4) u8,
-    dep (N,H,W) f32, seg (N,H,W) i32)."""
+def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig(),
+                       cam_indices=None):
+    """(N,3) positions + (N,4) xyzw quats -> (rgb (C,H,W,4) u8,
+    dep (C,H,W) f32, seg (C,H,W) i32).
+
+    All N drones populate the scene (sphere ids 1..N); cameras render from
+    the drones selected by ``cam_indices`` (default: all, C = N). A subset
+    keeps single-view captures (`compat.gym._getDroneImages`) O(scene)
+    instead of rendering and discarding N-1 views."""
     pos = jnp.asarray(pos)
     quat = jnp.asarray(quat)
     N = pos.shape[0]
+    sel = (jnp.arange(N) if cam_indices is None
+           else jnp.atleast_1d(jnp.asarray(cam_indices)))
     H, W = cfg.height, cfg.width
     near = arm
     tan_half = jnp.tan(jnp.deg2rad(cfg.fov_deg) / 2.0)
 
-    R = quat_to_matrix(quat)  # (N, 3, 3)
-    eye = pos + jnp.asarray([0.0, 0.0, 1.0]) * arm  # BaseAviary.py:595
+    R = quat_to_matrix(quat[sel])  # (C, 3, 3)
+    eye = pos[sel] + jnp.asarray([0.0, 0.0, 1.0]) * arm  # BaseAviary.py:595
     forward = R[..., :, 0]  # body +x in world coords
     fwd = forward / jnp.linalg.norm(forward, axis=-1, keepdims=True)
     world_up = jnp.asarray([0.0, 0.0, 1.0])
@@ -125,7 +133,7 @@ def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig()):
     t_all = _ray_sphere(o[..., None, :], d[..., None, :],
                         pos[None, None, None, :, :], cfg.drone_radius)
     # A drone never sees itself (camera sits above its own sphere)
-    self_mask = (jnp.arange(N)[:, None, None, None]
+    self_mask = (sel[:, None, None, None]
                  == jnp.arange(N)[None, None, None, :])
     t_all = jnp.where(self_mask, jnp.inf, t_all)
     j_min = jnp.argmin(t_all, axis=-1)  # (N, H, W)

@@ -19,9 +19,7 @@ error; running at multiple resolutions establishes convergence, and a greedy
 rollout from the *exact continuous* start state gives a discretization-free
 lower bound. Because the DP state (z, vz) is the full Markov state of this
 reduced system, the DP optimum upper-bounds the return of ANY policy,
-memoryful or not. This certifies how close the trained policies (472.2
-single) sit to the optimum and whether the reference's calibrated thresholds
-(474 single / 949.5 multi, learn.py:79-80) are reachable at all.
+memoryful or not.
 
 MultiHover (2 drones, per-drone 1-dim actions, Physics.PYB, no coupling):
 the joint return is the sum of two independent per-drone problems. The
@@ -32,11 +30,18 @@ DP optima is the joint optimum up to the (1e-4)^4 ~ 1e-16 reward forfeited
 by skirting the ball. Per-episode supremum: 2.0 x 241 reward-bearing steps
 = 482 per drone (truncation fires on step 241 WITH its reward).
 
+Certified results (float64; f32 at three resolutions incl. 2401x1201x201
+agrees to 0.01): Hover single 472.28; MultiHover 465.33 (climb 1.0 m) +
+481.28 (climb 0.5 m) = 946.61 joint. Both reference ONE_D_RPM thresholds
+(474 / 949.5, learn.py:79-82) sit strictly ABOVE the certified optima; the
+trained policies land within ~0.1 of them (472.16 single / 946.6 multi).
+
 The whole backward pass is ONE jitted lax.scan (dynamics recomputed in the
 scan body — precomputing the (nz, nv, na) next-state tables costs ~18 GB at
 full resolution and dominates wall time over the TPU tunnel).
 
-Run: python scripts/one_d_rpm_dp.py  (minutes on TPU; JAX_PLATFORMS=cpu works)
+Run: python scripts/one_d_rpm_dp.py   (float64, ~30-60 min on CPU;
+     DP_F32=1 for the fast float32 sweep, DP_FULL=1 adds the 2401-grid)
 """
 
 import os
@@ -44,12 +49,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
 import jax
 
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+if not os.environ.get("DP_F32"):
+    jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
 from functools import partial
@@ -60,7 +65,19 @@ from gym_pybullet_drones_tpu.envs.spec import DroneModel
 DT = 1.0 / 240.0
 SUB = 8
 Z_CONTACT = 0.0125  # resting height of the ground clamp (core/dynamics.py)
+Z0 = 0.025 / 2 + 0.1  # deterministic spawn height
 HORIZON = 241
+Z_LO, Z_HI = 0.0, 2.05
+V_LO, V_HI = -3.0, 3.0
+
+
+def _grids(nz, nv, na):
+    """(z grid, vz grid, per-action accelerations)."""
+    p = drone_params(DroneModel.CF2X)
+    acts = jnp.linspace(-1.0, 1.0, na)
+    accs = (4.0 * p.kf * (p.hover_rpm * (1.0 + 0.05 * acts)) ** 2 / p.m
+            - p.g)
+    return jnp.linspace(Z_LO, Z_HI, nz), jnp.linspace(V_LO, V_HI, nv), accs
 
 
 def _substeps(z, v, acc):
@@ -73,40 +90,40 @@ def _substeps(z, v, acc):
     return z, v
 
 
+def _bilerp(Vtab, zn, vn, zs, vs):
+    """Bilinear interpolation of the value table at (zn, vn)."""
+    nz, nv = Vtab.shape
+    zi = jnp.clip((zn - zs[0]) / (zs[1] - zs[0]), 0, nz - 1 - 1e-6)
+    vi = jnp.clip((vn - vs[0]) / (vs[1] - vs[0]), 0, nv - 1 - 1e-6)
+    z0i = jnp.floor(zi).astype(jnp.int32)
+    v0i = jnp.floor(vi).astype(jnp.int32)
+    zf, vf = zi - z0i, vi - v0i
+    return ((1 - zf) * (1 - vf) * Vtab[z0i, v0i]
+            + (1 - zf) * vf * Vtab[z0i, v0i + 1]
+            + zf * (1 - vf) * Vtab[z0i + 1, v0i]
+            + zf * vf * Vtab[z0i + 1, v0i + 1])
+
+
+def _step_rewards(zt, zn, vn):
+    """(reward, done) of landing at post-substep state (zn, vn)."""
+    err = jnp.abs(zt - zn)
+    r = jnp.maximum(0.0, 2.0 - err**4)
+    done = (err < 1e-4) | (zn > 2.0)
+    return r, done
+
+
 @partial(jax.jit, static_argnums=(1, 2, 3))
 def _solve_tables(zt, nz, nv, na):
-    """Backward induction; returns stacked value tables V_t, t=HORIZON..1.
-
-    tables[k] is the value-to-go with k+1 steps remaining evaluated BEFORE
-    taking a step, i.e. tables[-1] is V at the episode start.
-    """
-    p = drone_params(DroneModel.CF2X)
-    kf, m, g = p.kf, p.m, p.g
-    hover = p.hover_rpm
-
-    zs = jnp.linspace(0.0, 2.05, nz)
-    vs = jnp.linspace(-3.0, 3.0, nv)
-    acts = jnp.linspace(-1.0, 1.0, na)
-    accs = 4.0 * kf * (hover * (1.0 + 0.05 * acts)) ** 2 / m - g  # (na,)
-
+    """Backward induction; returns stacked value tables, tables[k] = value
+    with k+1 steps remaining (so tables[-1] is V at the episode start)."""
+    zs, vs, accs = _grids(nz, nv, na)
     Z, V = jnp.meshgrid(zs, vs, indexing="ij")  # (nz, nv)
 
     def q_values(Vtab):
         def per_action(acc):
             zn, vn = _substeps(Z, V, acc)
-            err = jnp.abs(zt - zn)
-            r = jnp.maximum(0.0, 2.0 - err**4)
-            done = (err < 1e-4) | (zn > 2.0)
-            zi = jnp.clip((zn - zs[0]) / (zs[1] - zs[0]), 0, nz - 1 - 1e-6)
-            vi = jnp.clip((vn - vs[0]) / (vs[1] - vs[0]), 0, nv - 1 - 1e-6)
-            z0i = jnp.floor(zi).astype(jnp.int32)
-            v0i = jnp.floor(vi).astype(jnp.int32)
-            zf, vf = zi - z0i, vi - v0i
-            vnx = ((1 - zf) * (1 - vf) * Vtab[z0i, v0i]
-                   + (1 - zf) * vf * Vtab[z0i, v0i + 1]
-                   + zf * (1 - vf) * Vtab[z0i + 1, v0i]
-                   + zf * vf * Vtab[z0i + 1, v0i + 1])
-            return r + jnp.where(done, 0.0, vnx)  # (nz, nv)
+            r, done = _step_rewards(zt, zn, vn)
+            return r + jnp.where(done, 0.0, _bilerp(Vtab, zn, vn, zs, vs))
         return jax.lax.map(per_action, accs)  # (na, nz, nv); map not vmap:
         # vmap materializes the (na, nz, nv) substep chain 8 deep at once.
 
@@ -121,73 +138,51 @@ def _solve_tables(zt, nz, nv, na):
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _greedy_rollout(zt, tables, nz, nv, na):
     """Greedy w.r.t. the tables from the EXACT continuous start state."""
-    p = drone_params(DroneModel.CF2X)
-    kf, m, g = p.kf, p.m, p.g
-    hover = p.hover_rpm
-    zs = jnp.linspace(0.0, 2.05, nz)
-    vs = jnp.linspace(-3.0, 3.0, nv)
-    acts = jnp.linspace(-1.0, 1.0, na)
-    accs = 4.0 * kf * (hover * (1.0 + 0.05 * acts)) ** 2 / m - g
+    zs, vs, accs = _grids(nz, nv, na)
 
     def step(carry, Vnext):
         z, v, total, alive = carry
         zn, vn = _substeps(z, v, accs)  # (na,)
-        e = jnp.abs(zt - zn)
-        r = jnp.maximum(0.0, 2.0 - e**4)
-        d = (e < 1e-4) | (zn > 2.0)
-        zi = jnp.clip((zn - zs[0]) / (zs[1] - zs[0]), 0, nz - 1 - 1e-6)
-        vi = jnp.clip((vn - vs[0]) / (vs[1] - vs[0]), 0, nv - 1 - 1e-6)
-        z0i = jnp.floor(zi).astype(jnp.int32)
-        v0i = jnp.floor(vi).astype(jnp.int32)
-        zf, vf = zi - z0i, vi - v0i
-        vnx = ((1 - zf) * (1 - vf) * Vnext[z0i, v0i]
-               + (1 - zf) * vf * Vnext[z0i, v0i + 1]
-               + zf * (1 - vf) * Vnext[z0i + 1, v0i]
-               + zf * vf * Vnext[z0i + 1, v0i + 1])
-        q = r + jnp.where(d, 0.0, vnx)
+        r, d = _step_rewards(zt, zn, vn)
+        q = r + jnp.where(d, 0.0, _bilerp(Vnext, zn, vn, zs, vs))
         k = jnp.argmax(q)
         total = total + jnp.where(alive, r[k], 0.0)
         carry = (jnp.where(alive, zn[k], z), jnp.where(alive, vn[k], v),
                  total, alive & ~d[k])
         return carry, None
 
-    z0 = 0.025 / 2 + 0.1
     # Forward step t consumes V with (HORIZON-1-t) steps remaining after it:
-    # tables[HORIZON-2-t], and V=0 (tables index -1 -> zeros) on the last step.
+    # tables[HORIZON-2-t], and V=0 (appended zeros) on the last step.
     rev = jnp.concatenate(
         [tables[HORIZON - 2::-1], jnp.zeros((1,) + tables.shape[1:])])
     (z, v, total, alive), _ = jax.lax.scan(
-        step, (jnp.asarray(z0), jnp.asarray(0.0), jnp.asarray(0.0),
+        step, (jnp.asarray(Z0), jnp.asarray(0.0), jnp.asarray(0.0),
                jnp.asarray(True)), rev)
     return total
 
 
 def solve(climb, nz=1201, nv=601, na=101, greedy=True):
     """(DP optimum from the start state, greedy-rollout lower bound)."""
-    z0 = 0.025 / 2 + 0.1
-    zt = z0 + climb
+    zt = Z0 + climb
     tables = _solve_tables(zt, nz, nv, na)
-    Vtab = tables[-1]
-    zs0, dz = 0.0, 2.05 / (nz - 1)
-    vs0, dv = -3.0, 6.0 / (nv - 1)
-    zi0 = (z0 - zs0) / dz
-    vi0 = (0.0 - vs0) / dv
-    i, j = int(zi0), int(vi0)
-    fz, fv = zi0 - i, vi0 - j
-    opt = float((1 - fz) * (1 - fv) * Vtab[i, j] + (1 - fz) * fv * Vtab[i, j + 1]
-                + fz * (1 - fv) * Vtab[i + 1, j] + fz * fv * Vtab[i + 1, j + 1])
+    zs, vs, _ = _grids(nz, nv, na)
+    opt = float(_bilerp(tables[-1], jnp.asarray(Z0), jnp.asarray(0.0), zs, vs))
     lo = float(_greedy_rollout(zt, tables, nz, nv, na)) if greedy else float("nan")
     return opt, lo
 
 
 def main():
+    grids = [(601, 301, 51), (1201, 601, 101)]
+    if os.environ.get("DP_FULL"):
+        grids.append((2401, 1201, 201))
+    print("dtype:", jnp.zeros(()).dtype, flush=True)
     # Hover: absolute target [0,0,1] from z0=0.1125 -> climb 0.8875
     # MultiHover: per-drone targets INIT + [0,0,1/(i+1)] -> climbs 1.0, 0.5
     for label, climb in (("Hover single (climb 0.8875 m, threshold 474)", 0.8875),
                          ("MultiHover drone 0 (climb 1.0 m)", 1.0),
                          ("MultiHover drone 1 (climb 0.5 m)", 0.5)):
         print(label + ":", flush=True)
-        for nz, nv, na in ((601, 301, 51), (1201, 601, 101), (2401, 1201, 201)):
+        for nz, nv, na in grids:
             opt, lo = solve(climb, nz, nv, na)
             print(f"  grid {nz}x{nv}x{na}: DP optimum {opt:.2f}, "
                   f"greedy-rollout lower bound {lo:.2f}", flush=True)

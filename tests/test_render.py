@@ -152,3 +152,24 @@ def test_compat_drone_images_and_export(tmp_path):
         env._exportImage(img_type, img, str(tmp_path), i)
         assert os.path.exists(tmp_path / f"frame_{i}.png")
     env.close()
+
+
+def test_cam_indices_subset_matches_full_render():
+    """render_drone_views(cam_indices=k) == full render's k-th view, with
+    global segmentation ids and all drones present in the scene."""
+    import jax.numpy as jnp
+
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.core.rotations import euler_xyz_to_quat
+    from gym_pybullet_drones_tpu.render.camera import render_drone_views
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+
+    params = drone_params(DroneModel.CF2X)
+    pos = jnp.asarray([[0.0, 0.0, 0.5], [1.0, 0.0, 0.5], [0.3, 0.0, 0.5]])
+    quat = euler_xyz_to_quat(jnp.zeros((3, 3)))
+    full = render_drone_views(pos, quat, params.arm)
+    one = render_drone_views(pos, quat, params.arm, cam_indices=2)
+    for f, o in zip(full, one):
+        np.testing.assert_array_equal(np.asarray(f[2]), np.asarray(o[0]))
+    # drone 2 looks along +x: drone 1 (global seg id 2) must be in view
+    assert (np.asarray(one[2][0]) == 2).any()

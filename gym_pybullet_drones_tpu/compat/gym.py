@@ -120,6 +120,21 @@ class BaseAviaryEnv(gym.Env):
                 self.cfg, self.params, self.ctrl_params, self.target_pos, s, a
             )
         )
+        # Reference subclassing protocol: a user env overriding
+        # _preprocessAction (the BaseAviary extension hook, :896/:1108 and
+        # every envs/*.py subclass) computes motor RPMs host-side; the device
+        # step then skips its own action pipeline but keeps the task's
+        # obs/reward/termination rules and the action buffer.
+        self._custom_action = (
+            type(self)._preprocessAction is not BaseAviaryEnv._preprocessAction
+        )
+        if self._custom_action:
+            self._jit_step_rpm = jax.jit(
+                lambda s, a, rpm: envbase.step(
+                    self.cfg, self.params, self.ctrl_params, self.target_pos,
+                    s, a, preprocessed_rpm=rpm
+                )
+            )
         self._state = None
         if not BaseAviaryEnv._perf_warned:
             BaseAviaryEnv._perf_warned = True
@@ -189,8 +204,16 @@ class BaseAviaryEnv(gym.Env):
         self.IMG_FRAME_PER_SEC = 24
         self.IMG_CAPTURE_FREQ = max(1, int(pyb_freq / self.IMG_FRAME_PER_SEC))
 
-        self.action_space = self._action_space()
-        self.observation_space = self._observation_space()
+        self.URDF = drone_model.value + ".urdf"  # BaseAviary.py:94
+        self.DRONE_IDS = np.arange(num_drones)  # body handles are ordinals here
+        # Construction-time housekeeping (BaseAviary.py:205-211): the env is
+        # fully inspectable (pos/quat/rpy mirrors, _getDroneStateVector)
+        # before the first reset(), like the reference.
+        self._housekeeping()
+        self._last_obs_dev = envbase.compute_obs(self.cfg, self._state)
+        self._last_reward, self._last_term, self._last_trunc = -1.0, False, False
+        self.action_space = self._actionSpace()
+        self.observation_space = self._observationSpace()
         self._start_wall = time.time()
 
     # -- spaces (overridden per subclass) -------------------------------------
@@ -212,6 +235,134 @@ class BaseAviaryEnv(gym.Env):
     def _observation_space(self):
         raise NotImplementedError
 
+    # -- reference subclassing protocol ---------------------------------------
+    # The reference's documented extension pattern is subclassing BaseAviary /
+    # BaseRLAviary and overriding these camelCase hooks (abstract at
+    # BaseAviary.py:1020-1106; implemented by every envs/*.py subclass).
+    # step()/reset() below always route through them, so a user's custom
+    # aviary ported from the reference drops in unchanged: un-overridden
+    # hooks fall back to the device-computed signals of the built-in task.
+
+    def _actionSpace(self):
+        """Action space hook (BaseAviary.py:1020-1026)."""
+        return self._action_space()
+
+    def _observationSpace(self):
+        """Observation space hook (BaseAviary.py:1030-1036)."""
+        return self._observation_space()
+
+    def _computeObs(self):
+        """Observation hook (BaseAviary.py:1040-1046): default returns the
+        device step's task observation."""
+        return self._np_obs(self._last_obs_dev)
+
+    def _computeReward(self):
+        """Reward hook (BaseAviary.py:1050-1056)."""
+        return float(self._last_reward)
+
+    def _computeTerminated(self):
+        """Termination hook (BaseAviary.py:1060-1066)."""
+        return bool(self._last_term)
+
+    def _computeTruncated(self):
+        """Truncation hook (BaseAviary.py:1070-1076)."""
+        return bool(self._last_trunc)
+
+    def _preprocessAction(self, action):
+        """Action-to-RPM hook (BaseAviary.py:1080-1096). The built-in envs
+        run the action pipeline inside the jitted device step
+        (envs/base.preprocess_action), so this base version is never called;
+        OVERRIDING it in a subclass switches step() to the reference flow —
+        your override maps `action` to (NUM_DRONES, 4) motor RPMs host-side
+        and the device step applies them directly."""
+        raise NotImplementedError(
+            "built-in action pipelines run on device; override this hook "
+            "in a subclass to inject custom RPMs")
+
+    def _housekeeping(self):
+        """Reinitialize per-episode state (BaseAviary._housekeeping, :452-505):
+        counters, kinematics, controllers — here one fresh functional-core
+        state pytree replaces the reference's attribute zeroing + reloads."""
+        self._state = envbase.reset(self.cfg, self.params)
+
+    def _updateAndStoreKinematicInformation(self):
+        """Parity shim (BaseAviary.py:509-519): the pos/quat/rpy/vel/ang_v
+        mirrors below are live views of the device state, so there is
+        nothing to copy; provided for subclasses that call it."""
+
+    def _addObstacles(self):
+        """Obstacle hook (BaseAviary.py:484-505, BaseRLAviary.py:99-128).
+        Obstacles are static analytic bodies inside the jitted step here
+        (core/collisions.rl_obstacles, enabled by AviaryConfig.collisions),
+        not URDF loads; returns the (K, 4) [x, y, z, radius] spec of the four
+        RL landmarks for introspection."""
+        from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
+
+        return np.asarray(rl_obstacles(self.cfg.jnp_dtype))
+
+    def _showDroneLocalAxes(self, nth_drone: int):
+        """GUI debug-line shim (BaseAviary.py:964-980): the PyBullet
+        debug-draw API has no equivalent in the LiveViewer; no-op."""
+
+    def _calculateNextStep(self, current_position, destination, step_size=1):
+        """Waypoint capping helper (BaseAviary._calculateNextStep,
+        :1108-1150), host-side numpy over the device kernel."""
+        return np.asarray(envbase._calculate_next_step(
+            np.asarray(current_position, dtype=np.float32),
+            np.asarray(destination, dtype=np.float32), float(step_size)))
+
+    def _parseURDFParameters(self):
+        """Load the 17 reference URDF constants from the packaged asset
+        (BaseAviary._parseURDFParameters, :985-1017), in the reference's
+        return order."""
+        from gym_pybullet_drones_tpu.core.params import from_urdf
+
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "assets", self.URDF)
+        p = from_urdf(path, self.DRONE_MODEL)
+        return (float(p.m), float(p.arm), float(p.thrust2weight),
+                np.asarray(p.J), np.asarray(p.J_inv), float(p.kf),
+                float(p.km), float(p.collision_h), float(p.collision_r),
+                float(p.collision_z_offset), float(p.max_speed_kmh),
+                float(p.gnd_eff_coeff), float(p.prop_radius),
+                np.asarray(p.drag_coeff), float(p.dw_coeff_1),
+                float(p.dw_coeff_2), float(p.dw_coeff_3))
+
+    # -- reference kinematic mirrors (BaseAviary.py:468-481, updated :509-519) --
+    # Read-only live views of the device state; the reference exposes these
+    # as numpy attributes refreshed each step and user code reads them
+    # (e.g. custom _computeReward via self.pos).
+
+    @property
+    def pos(self):
+        return np.asarray(self._state.kin.pos)
+
+    @property
+    def quat(self):
+        return np.asarray(self._state.kin.quat)
+
+    @property
+    def rpy(self):
+        return np.asarray(envbase.state_rpy(self._state.kin))
+
+    @property
+    def vel(self):
+        return np.asarray(self._state.kin.vel)
+
+    @property
+    def ang_v(self):
+        return np.asarray(self._state.kin.ang_v)
+
+    @property
+    def rpy_rates(self):
+        return np.asarray(self._state.kin.rpy_rates)
+
+    @property
+    def last_clipped_action(self):
+        """The motor RPMs applied on the last physics step
+        (BaseAviary.py:372; stored per substep by the device step)."""
+        return np.asarray(self._state.last_rpm)
+
     # -- gym API ---------------------------------------------------------------
 
     @property
@@ -224,24 +375,35 @@ class BaseAviaryEnv(gym.Env):
         return obs if obs.dtype == np.uint8 else obs.astype(np.float32)
 
     def reset(self, seed: Optional[int] = None, options=None):
+        """Reference reset sequence (BaseAviary.reset, :220-255):
+        _housekeeping -> kinematic refresh -> _startVideoRecording ->
+        (_computeObs, _computeInfo)."""
         super().reset(seed=seed)
         prev = self._state
-        self._state = envbase.reset(self.cfg, self.params)
+        self._housekeeping()
         if prev is not None and self.ACTION_BUFFER_SIZE > 0:
             # The reference's RL action deque persists across reset()
             # (BaseRLAviary.py:153-155 fills it once at construction).
             self._state = self._state.replace(action_buffer=prev.action_buffer)
-        obs = self._np_obs(envbase.compute_obs(self.cfg, self._state))
+        self._updateAndStoreKinematicInformation()
+        self._last_obs_dev = envbase.compute_obs(self.cfg, self._state)
+        self._last_reward, self._last_term, self._last_trunc = -1.0, False, False
         self._start_wall = time.time()
-        if self.RECORD:
-            import datetime
-            self._record_dir = os.path.join(
-                self.OUTPUT_FOLDER,
-                "recording_" + datetime.datetime.now().strftime("%m.%d.%Y_%H.%M.%S"))
-            os.makedirs(self._record_dir, exist_ok=True)
-            self._frame_num = 0
-            self._step_index = 0
-        return obs, self._computeInfo()
+        self._startVideoRecording()
+        return self._computeObs(), self._computeInfo()
+
+    def _startVideoRecording(self):
+        """Open a fresh frame directory when record=True
+        (BaseAviary._startVideoRecording, :523-537)."""
+        if not self.RECORD:
+            return
+        import datetime
+        self._record_dir = os.path.join(
+            self.OUTPUT_FOLDER,
+            "recording_" + datetime.datetime.now().strftime("%m.%d.%Y_%H.%M.%S"))
+        os.makedirs(self._record_dir, exist_ok=True)
+        self._frame_num = 0
+        self._step_index = 0
 
     def _maybe_record(self):
         if not self.RECORD or self._record_dir is None:
@@ -276,14 +438,23 @@ class BaseAviaryEnv(gym.Env):
 
     def step(self, action):
         action = np.asarray(action)
-        self._state, obs, reward, term, trunc = self._jit_step(self._state, action)
+        if self._custom_action:
+            # Reference flow (BaseAviary.step :340-383): the subclass hook
+            # maps the action to motor RPMs; physics + task signals on device.
+            rpm = np.asarray(self._preprocessAction(action), dtype=np.float32)
+            out = self._jit_step_rpm(self._state, action, rpm)
+        else:
+            out = self._jit_step(self._state, action)
+        self._state, obs, reward, term, trunc = out
+        self._last_obs_dev = obs
+        self._last_reward, self._last_term, self._last_trunc = reward, term, trunc
         self._maybe_view()
         self._maybe_record()
         return (
-            self._np_obs(obs),
-            float(reward),
-            bool(term),
-            bool(trunc),
+            self._computeObs(),
+            float(self._computeReward()),
+            bool(self._computeTerminated()),
+            bool(self._computeTruncated()),
             self._computeInfo(),
         )
 

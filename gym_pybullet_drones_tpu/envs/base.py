@@ -405,17 +405,31 @@ def step(
     target_pos,
     state: AviaryState,
     action,
+    preprocessed_rpm=None,
 ):
     """One control-period step: action pipeline -> physics substeps -> signals.
 
     Mirrors BaseAviary.step (BaseAviary.py:259-383). Pure; jit/vmap/shard-safe.
     Returns (state, obs, reward, terminated, truncated).
+
+    ``preprocessed_rpm`` (N, 4), when given, bypasses `preprocess_action`
+    with externally-computed motor RPMs (clipped to [0, MAX_RPM]) while the
+    task's obs/reward/termination rules still apply — the hook for user
+    subclasses that override the reference's ``_preprocessAction``
+    (BaseAviary.py:349-372 feeds `_physics` whatever that override returns).
+    ``action`` still feeds the action buffer with its original shape.
     """
     action = jnp.asarray(action, dtype=cfg.jnp_dtype).reshape(cfg.num_drones, cfg.action_dim)
     if cfg.action_buffer_size > 0:
         buf = jnp.concatenate([state.action_buffer[1:], action[None]], axis=0)
         state = state.replace(action_buffer=buf)
-    rpm, new_ctrl = preprocess_action(cfg, params, ctrl_params, state, action)
+    if preprocessed_rpm is None:
+        rpm, new_ctrl = preprocess_action(cfg, params, ctrl_params, state, action)
+    else:
+        rpm = jnp.clip(
+            jnp.asarray(preprocessed_rpm, dtype=cfg.jnp_dtype).reshape(cfg.num_drones, 4),
+            0.0, params.max_rpm)
+        new_ctrl = state.ctrl
     obstacles = None
     if cfg.collisions and cfg.obs_type == ObservationType.RGB:
         from gym_pybullet_drones_tpu.core.collisions import rl_obstacles

@@ -44,9 +44,9 @@ from gym_pybullet_drones_tpu.rl.warmstart import bc_pretrain
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("case", choices=["rpm4", "rgb"])
+    ap.add_argument("case", choices=["rpm4", "rgb", "pid", "vel", "one_d_pid"])
     ap.add_argument("--multiagent", action="store_true",
-                    help="MultiHoverAviary (2 drones); rpm4 threshold 920")
+                    help="MultiHoverAviary (2 drones); threshold 920")
     ap.add_argument("--steps", type=float, default=None)
     ap.add_argument("--num_envs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -62,20 +62,30 @@ def main():
     ap.add_argument("--anneal_frac", type=float, default=0.6)
     ap.add_argument("--frame_stack", type=int, default=4)
     ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="override the stop-on-solve bar (e.g. to train past "
+                         "the reference threshold for cross-platform margin)")
+    ap.add_argument("--eval_eps", type=int, default=10,
+                    help="consecutive deterministic episodes per eval; raise "
+                         "to select checkpoints robust to float32 chaos "
+                         "(TPU-trained policies are re-verified on CPU)")
     ap.add_argument("--out", default="results")
     args = ap.parse_args()
-    if args.multiagent and args.case != "rpm4":
-        ap.error("--multiagent is only wired for the rpm4 case")
+    if args.multiagent and args.case == "rgb":
+        ap.error("--multiagent is not wired for the rgb case")
     os.makedirs(args.out, exist_ok=True)
 
-    if args.case == "rpm4":
+    if args.case != "rgb":
         from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
 
+        act = {"rpm4": ActionType.RPM, "pid": ActionType.PID,
+               "vel": ActionType.VEL,
+               "one_d_pid": ActionType.ONE_D_PID}[args.case]
         n_drones = 2 if args.multiagent else 1
         env_cfg = AviaryConfig(
             num_drones=n_drones,
             task=TASK_MULTIHOVER if args.multiagent else TASK_HOVER,
-            action_type=ActionType.RPM,
+            action_type=act,
             obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
             action_buffer_size=15, episode_len_sec=8.0,
         )
@@ -93,11 +103,13 @@ def main():
         total = int(args.steps or 3e6)
         num_envs = args.num_envs or 64
 
+    if args.threshold is not None:
+        threshold = args.threshold
     updates = max(1, total // (num_envs * 128))
     ppo_cfg = PPOConfig(
         num_envs=num_envs, n_steps=128, minibatch_size=1024,
         learning_rate=args.lr, hidden=(args.hidden, args.hidden),
-        log_std_anneal_to=(args.anneal_to if args.case == "rpm4" else None),
+        log_std_anneal_to=(args.anneal_to if args.case != "rgb" else None),
         log_std_anneal_updates=int(updates * args.anneal_frac),
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(args.seed))
@@ -128,7 +140,8 @@ def main():
             # BaseRLAviary.py:153-155, so consecutive episodes differ; a
             # single-episode eval overstates robustness).
             ret, n_eps = evaluate_policy(env_cfg, aux, runner.params,
-                                         num_steps=260 * 10, num_envs=1)
+                                         num_steps=260 * args.eval_eps,
+                                         num_envs=1)
             ls = np.asarray(runner.params["params"]["log_std"]).mean()
             print(f"[{time.time()-t0:7.1f}s] upd {u+1}/{updates} "
                   f"steps {(u+1)*ppo_cfg.batch_size/1e6:.2f}M "
@@ -144,7 +157,7 @@ def main():
                 print(f"[SOLVED] {ret:.1f} >= {threshold}", flush=True)
                 break
     ret, n_eps = evaluate_policy(env_cfg, aux, best_params,
-                                 num_steps=260 * 10, num_envs=1)
+                                 num_steps=260 * args.eval_eps, num_envs=1)
     print(f"[FINAL] best-checkpoint deterministic eval {ret:.2f} "
           f"over {n_eps} episodes (threshold {threshold})", flush=True)
 

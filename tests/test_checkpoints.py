@@ -61,6 +61,22 @@ def test_rgb_checkpoint_solves_optimum():
     assert ret >= 470.0, ret
 
 
+def test_pid_checkpoint_solves_threshold():
+    """ActionType.PID Hover (3-dim waypoint offsets through the embedded
+    DSLPID, reference BaseRLAviary.py:221-240): >= 467 over 10 consecutive
+    deterministic episodes. Trained by plain annealed PPO (no warm-start) —
+    CPU re-verified 472.28/10 eps, 472.39/22 eps."""
+    env_cfg = AviaryConfig(
+        num_drones=1, task=TASK_HOVER, action_type=ActionType.PID,
+        obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0,
+    )
+    params, aux = _load(env_cfg, "pid_hover.msgpack")
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
+    assert n >= 10
+    assert ret >= 467.0, ret
+
+
 def test_rpm4_multiagent_checkpoint_solves_threshold():
     """Multi-agent (2-drone) 4-dim RPM MultiHover: >= 920 (learn.py:82) over
     10 consecutive deterministic episodes. Policy uses a 256-wide MLP (the

@@ -77,6 +77,24 @@ def test_pid_checkpoint_solves_threshold():
     assert ret >= 467.0, ret
 
 
+def test_pid_multiagent_checkpoint_solves_threshold():
+    """ActionType.PID MultiHover (2 drones): >= 920 (learn.py:82) over 10
+    consecutive deterministic episodes. Plain annealed PPO, 12M steps, best
+    checkpoint selected on a 30-episode TPU eval (947.1) and CPU re-verified
+    947.66/10 eps, 947.35/22 eps, 947.42/43 eps."""
+    from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+    env_cfg = AviaryConfig(
+        num_drones=2, task=TASK_MULTIHOVER, action_type=ActionType.PID,
+        obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0,
+    )
+    params, aux = _load(env_cfg, "pid_multihover.msgpack")
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
+    assert n >= 10
+    assert ret >= 920.0, ret
+
+
 def test_rpm4_multiagent_checkpoint_solves_threshold():
     """Multi-agent (2-drone) 4-dim RPM MultiHover: >= 920 (learn.py:82) over
     10 consecutive deterministic episodes. Policy uses a 256-wide MLP (the

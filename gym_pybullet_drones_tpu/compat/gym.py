@@ -28,6 +28,7 @@ import gymnasium as gym
 from gymnasium import spaces
 
 import jax
+import jax.numpy as jnp
 
 from gym_pybullet_drones_tpu.envs import base as envbase
 from gym_pybullet_drones_tpu.envs.base import (
@@ -303,6 +304,81 @@ class BaseAviaryEnv(gym.Env):
     def _showDroneLocalAxes(self, nth_drone: int):
         """GUI debug-line shim (BaseAviary.py:964-980): the PyBullet
         debug-draw API has no equivalent in the LiveViewer; no-op."""
+
+    # -- physics-term probes ---------------------------------------------------
+    # The reference's per-drone physics methods (BaseAviary.py:679-892) APPLY
+    # forces to the PyBullet engine. Here every term is already applied inside
+    # the fused jitted step (core/dynamics.step_physics), so these shims
+    # RETURN the values the kernel computes for drone `nth_drone` from the
+    # live state — the same probe role examples/debug.py plays. Signatures
+    # match the reference so subclass code type-checks.
+
+    def _physics(self, rpm, nth_drone: int):
+        """Motor thrust/torque term (BaseAviary._physics, :679-711): returns
+        ((4,) per-prop thrusts [N, body +z], z reaction torque [N m])."""
+        from gym_pybullet_drones_tpu.core.dynamics import motor_forces
+
+        forces, z_torque = motor_forces(
+            jnp.asarray(rpm, self.cfg.jnp_dtype).reshape(4), self.params)
+        return np.asarray(forces), float(z_torque)
+
+    def _groundEffect(self, rpm, nth_drone: int):
+        """Ground-effect term (BaseAviary._groundEffect, :715-752): returns
+        the (4,) per-prop force increments [N, body +z] at the drone's
+        current pose."""
+        from gym_pybullet_drones_tpu.core.aero import ground_effect_forces
+        from gym_pybullet_drones_tpu.core.rotations import (
+            quat_to_euler_xyz,
+            quat_to_matrix,
+        )
+
+        kin = self._state.kin
+        quat = kin.quat[nth_drone]
+        forces = ground_effect_forces(
+            jnp.asarray(rpm, self.cfg.jnp_dtype).reshape(4),
+            kin.pos[nth_drone], quat_to_matrix(quat), quat_to_euler_xyz(quat),
+            self.params)
+        return np.asarray(forces)
+
+    def _drag(self, rpm, nth_drone: int):
+        """Drag term (BaseAviary._drag, :754-783): returns the (3,)
+        world-frame drag force [N] at the drone's current velocity."""
+        from gym_pybullet_drones_tpu.core.aero import drag_force_world
+
+        return np.asarray(drag_force_world(
+            jnp.asarray(rpm, self.cfg.jnp_dtype).reshape(4),
+            self._state.kin.vel[nth_drone], self.params))
+
+    def _downwash(self, nth_drone: int):
+        """Downwash term (BaseAviary._downwash, :785-811): returns the (3,)
+        force [N, world, always -z] induced on drone `nth_drone` by the rest
+        of the fleet."""
+        from gym_pybullet_drones_tpu.core.aero import downwash_forces_body_z
+
+        z_forces = downwash_forces_body_z(self._state.kin.pos, self.params)
+        return np.array([0.0, 0.0, float(z_forces[nth_drone])])
+
+    def _dynamics(self, rpm, nth_drone: int):
+        """Explicit-dynamics substep (BaseAviary._dynamics, :815-877): returns
+        the next (pos, quat, vel, rpy_rates) of drone `nth_drone` after one
+        1/pyb_freq step, without mutating the env (the reference writes the
+        result back into the engine instead)."""
+        from gym_pybullet_drones_tpu.core.dynamics import substep_dyn
+
+        kin = jax.tree.map(lambda leaf: leaf[nth_drone], self._state.kin)
+        nxt = substep_dyn(kin, jnp.asarray(rpm, self.cfg.jnp_dtype).reshape(4),
+                          self.params, self.cfg.pyb_timestep)
+        return (np.asarray(nxt.pos), np.asarray(nxt.quat),
+                np.asarray(nxt.vel), np.asarray(nxt.rpy_rates))
+
+    def _integrateQ(self, quat, omega, dt):
+        """Closed-form axis-angle quaternion update (BaseAviary._integrateQ,
+        :879-892)."""
+        from gym_pybullet_drones_tpu.core.rotations import integrate_quat
+
+        return np.asarray(integrate_quat(
+            jnp.asarray(quat, self.cfg.jnp_dtype),
+            jnp.asarray(omega, self.cfg.jnp_dtype), float(dt)))
 
     def _calculateNextStep(self, current_position, destination, step_size=1):
         """Waypoint capping helper (BaseAviary._calculateNextStep,

@@ -9,6 +9,9 @@ unchanged. For on-device fleets use the pure functions directly
 (`dsl_pid_control` under vmap/scan).
 """
 
+import os
+import xml.etree.ElementTree as etxml
+
 import numpy as np
 
 import jax
@@ -17,12 +20,18 @@ import jax.numpy as jnp
 from gym_pybullet_drones_tpu.control.ctbr import ctbr_control, ctbr_params
 from gym_pybullet_drones_tpu.control.mrac import mrac_control, mrac_params, mrac_reset
 from gym_pybullet_drones_tpu.control.dsl_pid import (
+    _attitude_control,
+    _position_control,
     dsl_pid_control,
     dsl_pid_params,
     dsl_pid_reset,
+    one23d_interface,
 )
 from gym_pybullet_drones_tpu.envs.spec import DroneModel
 from gym_pybullet_drones_tpu.core.params import G
+
+_ASSETS = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "assets")
 
 
 class BaseControl:
@@ -31,11 +40,62 @@ class BaseControl:
 
     def __init__(self, drone_model: DroneModel, g: float = G):
         self.DRONE_MODEL = drone_model
-        self.GRAVITY = None  # set by subclasses from params
+        # Reference BaseControl.__init__ derives these from the URDF (:32-41)
+        self.GRAVITY = g * self._getURDFParameter("m")
+        self.KF = self._getURDFParameter("kf")
+        self.KM = self._getURDFParameter("km")
         self.control_counter = 0
 
     def reset(self):
         self.control_counter = 0
+
+    def computeControl(self, control_timestep, cur_pos, cur_quat, cur_vel,
+                       cur_ang_vel, target_pos, target_rpy=np.zeros(3),
+                       target_vel=np.zeros(3), target_rpy_rates=np.zeros(3)):
+        """Abstract per-drone control step (BaseControl.computeControl, :97-134)."""
+        raise NotImplementedError
+
+    def setPIDCoefficients(self, p_coeff_pos=None, i_coeff_pos=None,
+                           d_coeff_pos=None, p_coeff_att=None,
+                           i_coeff_att=None, d_coeff_att=None):
+        """Swap PID gains by attribute (BaseControl.setPIDCoefficients,
+        :138-177). Errors out, like the reference, when the instantiated
+        controller has no PID coefficient attributes (e.g. CTBR, MRAC)."""
+        ATTR_LIST = ["P_COEFF_FOR", "I_COEFF_FOR", "D_COEFF_FOR",
+                     "P_COEFF_TOR", "I_COEFF_TOR", "D_COEFF_TOR"]
+        if not all(hasattr(self, attr) for attr in ATTR_LIST):
+            print("[ERROR] in BaseControl.setPIDCoefficients(), not all PID "
+                  "coefficients exist as attributes in the instantiated "
+                  "control class.")
+            raise SystemExit(1)
+        self.P_COEFF_FOR = self.P_COEFF_FOR if p_coeff_pos is None else p_coeff_pos
+        self.I_COEFF_FOR = self.I_COEFF_FOR if i_coeff_pos is None else i_coeff_pos
+        self.D_COEFF_FOR = self.D_COEFF_FOR if d_coeff_pos is None else d_coeff_pos
+        self.P_COEFF_TOR = self.P_COEFF_TOR if p_coeff_att is None else p_coeff_att
+        self.I_COEFF_TOR = self.I_COEFF_TOR if i_coeff_att is None else i_coeff_att
+        self.D_COEFF_TOR = self.D_COEFF_TOR if d_coeff_att is None else d_coeff_att
+
+    def _getURDFParameter(self, parameter_name: str) -> float:
+        """Positional-XML URDF parameter read (BaseControl._getURDFParameter,
+        :181-216), against this package's generated URDFs (same element
+        layout as the reference assets, tests/test_params.py round-trip)."""
+        path = os.path.join(_ASSETS, self.DRONE_MODEL.value + ".urdf")
+        root = etxml.parse(path).getroot()
+        if parameter_name == "m":
+            return float(root[1][0][1].attrib["value"])
+        if parameter_name in ("ixx", "iyy", "izz"):
+            return float(root[1][0][2].attrib[parameter_name])
+        if parameter_name in ("arm", "thrust2weight", "kf", "km", "max_speed_kmh",
+                              "gnd_eff_coeff", "prop_radius", "drag_coeff_xy",
+                              "drag_coeff_z", "dw_coeff_1", "dw_coeff_2",
+                              "dw_coeff_3"):
+            return float(root[0].attrib[parameter_name])
+        if parameter_name in ("length", "radius"):
+            return float(root[1][2][1][0].attrib[parameter_name])
+        if parameter_name == "collision_z_offset":
+            offsets = [float(s) for s in root[1][2][0].attrib["xyz"].split(" ")]
+            return offsets[2]
+        raise KeyError(parameter_name)
 
     def computeControlFromState(self, control_timestep, state, target_pos,
                                 target_rpy=np.zeros(3), target_vel=np.zeros(3),
@@ -57,37 +117,43 @@ class DSLPIDControl(BaseControl):
     def __init__(self, drone_model: DroneModel = DroneModel.CF2X, g: float = G):
         super().__init__(drone_model, g)
         self.params = dsl_pid_params(drone_model, g=g, dtype=jnp.float32)
-        self._jit = jax.jit(
-            lambda st, dt, pos, quat, vel, tp, tr, tv, trr: dsl_pid_control(
-                self.params, st, dt, pos, quat, vel, tp, tr, tv, trr
-            )
-        )
+        # Reference constant attributes (DSLPIDControl.py:43-60)
+        self.PWM2RPM_SCALE = float(self.params.pwm2rpm_scale)
+        self.PWM2RPM_CONST = float(self.params.pwm2rpm_const)
+        self.MIN_PWM = float(self.params.min_pwm)
+        self.MAX_PWM = float(self.params.max_pwm)
+        self.MIXER_MATRIX = np.asarray(self.params.mixer)
+        self._rebuild_jit()
         self.reset()
 
-    def setPIDCoefficients(self, p_coeff_pos=None, i_coeff_pos=None,
-                           d_coeff_pos=None, p_coeff_att=None,
-                           i_coeff_att=None, d_coeff_att=None):
-        """Swap PID gains (BaseControl.setPIDCoefficients, :138-177); the
-        params pytree is rebuilt and the kernel retraces on next call."""
-        import numpy as _np
-
-        def pick(new, old):
-            return jnp.asarray(_np.asarray(new), jnp.float32) if new is not None else old
-
-        self.params = self.params.replace(
-            p_for=pick(p_coeff_pos, self.params.p_for),
-            i_for=pick(i_coeff_pos, self.params.i_for),
-            d_for=pick(d_coeff_pos, self.params.d_for),
-            p_tor=pick(p_coeff_att, self.params.p_tor),
-            i_tor=pick(i_coeff_att, self.params.i_tor),
-            d_tor=pick(d_coeff_att, self.params.d_tor),
-        )
+    def _rebuild_jit(self):
         params = self.params
         self._jit = jax.jit(
             lambda st, dt, pos, quat, vel, tp, tr, tv, trr: dsl_pid_control(
                 params, st, dt, pos, quat, vel, tp, tr, tv, trr
             )
         )
+
+    def _set_gain(self, field, value):
+        self.params = self.params.replace(
+            **{field: jnp.asarray(np.asarray(value), jnp.float32)})
+        self._rebuild_jit()
+
+    # Reference gain attributes (DSLPIDControl.py:37-42). Properties backed by
+    # the params pytree so the base setPIDCoefficients works unchanged and
+    # direct attribute writes retune the jitted kernel.
+    P_COEFF_FOR = property(lambda s: np.asarray(s.params.p_for),
+                           lambda s, v: s._set_gain("p_for", v))
+    I_COEFF_FOR = property(lambda s: np.asarray(s.params.i_for),
+                           lambda s, v: s._set_gain("i_for", v))
+    D_COEFF_FOR = property(lambda s: np.asarray(s.params.d_for),
+                           lambda s, v: s._set_gain("d_for", v))
+    P_COEFF_TOR = property(lambda s: np.asarray(s.params.p_tor),
+                           lambda s, v: s._set_gain("p_tor", v))
+    I_COEFF_TOR = property(lambda s: np.asarray(s.params.i_tor),
+                           lambda s, v: s._set_gain("i_tor", v))
+    D_COEFF_TOR = property(lambda s: np.asarray(s.params.d_tor),
+                           lambda s, v: s._set_gain("d_tor", v))
 
     def reset(self):
         super().reset()
@@ -105,6 +171,41 @@ class DSLPIDControl(BaseControl):
             jnp.asarray(target_rpy_rates, jnp.float32),
         )
         return np.asarray(rpm), np.asarray(pos_e), float(yaw_e)
+
+    def _dslPIDPositionControl(self, control_timestep, cur_pos, cur_quat,
+                               cur_vel, target_pos, target_rpy, target_vel):
+        """Position loop only (DSLPIDControl._dslPIDPositionControl, :149-209).
+        Mutates the carried position integral; returns
+        (thrust [PWM units], computed_target_rpy, pos_e)."""
+        thrust, target_euler, pos_e, integral_pos_e = _position_control(
+            self.params, self.state.integral_pos_e, jnp.float32(control_timestep),
+            jnp.asarray(cur_pos, jnp.float32), jnp.asarray(cur_quat, jnp.float32),
+            jnp.asarray(cur_vel, jnp.float32), jnp.asarray(target_pos, jnp.float32),
+            jnp.asarray(target_rpy, jnp.float32), jnp.asarray(target_vel, jnp.float32),
+        )
+        self.state = self.state.replace(integral_pos_e=integral_pos_e)
+        return float(thrust), np.asarray(target_euler), np.asarray(pos_e)
+
+    def _dslPIDAttitudeControl(self, control_timestep, thrust, cur_quat,
+                               target_euler, target_rpy_rates):
+        """Attitude loop only (DSLPIDControl._dslPIDAttitudeControl, :212-259).
+        Mutates last_rpy and the attitude integral; returns (4,) RPMs."""
+        rpm, cur_rpy, integral_rpy_e = _attitude_control(
+            self.params, self.state.last_rpy, self.state.integral_rpy_e,
+            jnp.float32(control_timestep), jnp.asarray(thrust, jnp.float32),
+            jnp.asarray(cur_quat, jnp.float32),
+            jnp.asarray(target_euler, jnp.float32),
+            jnp.asarray(target_rpy_rates, jnp.float32),
+        )
+        self.state = self.state.replace(last_rpy=cur_rpy,
+                                        integral_rpy_e=integral_rpy_e)
+        return np.asarray(rpm)
+
+    def _one23DInterface(self, thrust):
+        """1/2/4-dim desired thrust -> (4,) per-motor PWM
+        (DSLPIDControl._one23DInterface, :263-287)."""
+        thrust = np.atleast_1d(np.asarray(thrust, np.float32))
+        return np.asarray(one23d_interface(self.params, jnp.asarray(thrust)))
 
 
 class CTBRControl(BaseControl):
@@ -137,6 +238,7 @@ class MRAC(BaseControl):
 
     def __init__(self, drone_model: DroneModel = DroneModel.CF2X, g: float = G):
         super().__init__(drone_model, g)
+        self.g = g
         self.params = mrac_params(drone_model, g=g)
         self._jit = jax.jit(
             lambda st, dt, pos, quat, vel, av, tp, tr, tv, trr: mrac_control(
@@ -168,3 +270,16 @@ class MRAC(BaseControl):
             jnp.asarray(target_vel, jnp.float32), jnp.asarray(target_rpy_rates, jnp.float32),
         )
         return np.asarray(rpm), np.asarray(pos_e), np.asarray(rpy_e)
+
+    def _compute_K(self, psi=0):
+        """Linearized-model gain design (MRAC._compute_K, :56-104): pole
+        placement at -1..-12 plus the Lyapunov solve. Sets the reference-named
+        linear-algebra attributes and returns the initial (Kx, Kr)."""
+        params = mrac_params(self.DRONE_MODEL, g=self.g, psi=float(psi))
+        self.Am = np.asarray(params.Am)
+        self.Bm = np.asarray(params.Bm)
+        self.P = np.asarray(params.P)
+        self.Kr_ref_gain = np.asarray(params.Kr_ref_gain)
+        self.Gamma_x = np.eye(12) * float(params.gamma_x)
+        self.Gamma_r = np.eye(4) * float(params.gamma_r)
+        return np.asarray(params.Kx0), np.asarray(params.Kr0)

@@ -201,6 +201,83 @@ class CFAviary(BaseAviaryEnv):
             target.timestamp = timestamp
             target.x, target.y, target.z = map(float, vals)
 
+    # -- reference-named plumbing surface (CFAviary.py:112-361) ----------------
+    # The main code paths above use snake_case internally; these carry the
+    # reference's exact method names and decompositions so downstream code
+    # written against CFAviary keeps working.
+
+    def _initalize_cffirmware(self):  # sic — the reference's spelling (:112)
+        """Reset the firmware wrapper from the live sim state."""
+        self._initialize_firmware(self._getDroneStateVector(0).reshape(1, -1))
+
+    def _update_initial_state(self, obs):
+        """(CFAviary.py:263-265): seed the finite-difference memory."""
+        self.prev_vel = np.array(obs[10:13])
+        self.prev_rpy = np.array(obs[7:10])
+
+    def _update_sensorData(self, timestamp, acc_vals, gyro_vals,
+                           baro_vals=(1013.25, 25)):
+        """(CFAviary.py:272-291). The native firmware subset has no barometer
+        input (neither controller reads it), so ``baro_vals`` is accepted for
+        signature parity and ignored."""
+        self._update_sensor_data(timestamp, acc_vals, gyro_vals)
+
+    def _update_gyro(self, x, y, z):
+        self.sensorData.gyro.x = firm.lpf2pApply(self.gyrolpf[0], x)
+        self.sensorData.gyro.y = firm.lpf2pApply(self.gyrolpf[1], y)
+        self.sensorData.gyro.z = firm.lpf2pApply(self.gyrolpf[2], z)
+
+    def _update_acc(self, x, y, z):
+        self.sensorData.acc.x = firm.lpf2pApply(self.acclpf[0], x)
+        self.sensorData.acc.y = firm.lpf2pApply(self.acclpf[1], y)
+        self.sensorData.acc.z = firm.lpf2pApply(self.acclpf[2], z)
+
+    @staticmethod
+    def _update_baro(baro, pressure, temperature):
+        """(CFAviary.py:303-311): barometric altitude from pressure [hPa] and
+        temperature [C], written onto any object with the baro_t fields."""
+        baro.pressure = pressure
+        baro.temperature = temperature
+        baro.asl = (((1015.7 / baro.pressure) ** 0.1902630958 - 1)
+                    * (temperature + 273.15)) / 0.0065
+
+    @staticmethod
+    def _update_3D_vec(point, timestamp, x, y, z):
+        point.x, point.y, point.z = x, y, z
+        point.timestamp = timestamp
+
+    def _update_attitudeQuaternion(self, quaternion_t, timestamp, qx, qy, qz,
+                                   qw=None):
+        """(CFAviary.py:341-355): xyzw quat, or roll/pitch/yaw in DEG when
+        ``qw`` is omitted."""
+        quaternion_t.timestamp = timestamp
+        if qw is None:
+            q = R.from_euler(
+                "xyz", np.array([qx, qy, qz]) / self.RAD_TO_DEG).as_quat()
+            qx, qy, qz, qw = map(float, q)
+        quaternion_t.x, quaternion_t.y = qx, qy
+        quaternion_t.z, quaternion_t.w = qz, qw
+
+    def _update_attitude_t(self, attitude_t, timestamp, roll, pitch, yaw):
+        """(CFAviary.py:357-361): legacy CF2 frame — pitch inverted."""
+        attitude_t.timestamp = timestamp
+        attitude_t.roll = roll
+        attitude_t.pitch = -pitch
+        attitude_t.yaw = yaw
+
+    def _updateSetpoint(self, timestep):
+        self._update_setpoint(timestep)
+
+    def _powerDistribution(self, control):
+        self._power_distribution(control)
+
+    def _motorsGetPWM(self, thrust):
+        return self._motors_get_pwm(thrust)
+
+    @staticmethod
+    def _limitThrust(val):
+        return CFAviary._limit_thrust(val)
+
     def _step_controller(self):
         # Tumble detection (CFAviary.py:376-386)
         if self.state.acc.z < -0.5:

@@ -1,0 +1,124 @@
+"""Public + protected API parity gate: every method a reference class defines
+must exist on the corresponding class here, so code written against
+gym_pybullet_drones (subclasses, scripts, forks) finds the full surface.
+
+The reference tree is parsed with `ast` when available (/root/reference); when
+absent the expected-method snapshot below is used, so the gate also runs
+standalone."""
+
+import ast
+import os
+
+import pytest
+
+REF_ROOT = "/root/reference/gym_pybullet_drones"
+
+# Snapshot of reference method names (v2.1.0), keyed by class. Regenerate by
+# running this file's `_collect_reference()` against the reference tree.
+_SNAPSHOT = {
+    "BaseAviary": [
+        "__init__", "reset", "step", "render", "close", "getPyBulletClient",
+        "getDroneIds", "_housekeeping", "_updateAndStoreKinematicInformation",
+        "_startVideoRecording", "_getDroneStateVector", "_getDroneImages",
+        "_exportImage", "_getAdjacencyMatrix", "_physics", "_groundEffect",
+        "_drag", "_downwash", "_dynamics", "_integrateQ",
+        "_normalizedActionToRPM", "_saveLastAction", "_showDroneLocalAxes",
+        "_addObstacles", "_parseURDFParameters", "_actionSpace",
+        "_observationSpace", "_computeObs", "_preprocessAction",
+        "_computeReward", "_computeTerminated", "_computeTruncated",
+        "_computeInfo", "_calculateNextStep",
+    ],
+    "CtrlAviary": ["__init__", "_actionSpace", "_observationSpace",
+                   "_computeObs", "_preprocessAction", "_computeReward",
+                   "_computeTerminated", "_computeTruncated", "_computeInfo"],
+    "VelocityAviary": ["__init__", "_actionSpace", "_observationSpace",
+                       "_computeObs", "_preprocessAction", "_computeReward",
+                       "_computeTerminated", "_computeTruncated", "_computeInfo"],
+    "BaseRLAviary": ["__init__", "_addObstacles", "_actionSpace",
+                     "_preprocessAction", "_observationSpace", "_computeObs"],
+    "HoverAviary": ["__init__", "_computeReward", "_computeTerminated",
+                    "_computeTruncated", "_computeInfo"],
+    "MultiHoverAviary": ["__init__", "_computeReward", "_computeTerminated",
+                         "_computeTruncated", "_computeInfo"],
+    "BetaAviary": ["__init__", "step", "_preprocessAction", "ctbr2beta",
+                   "_actionSpace", "_observationSpace", "_computeObs",
+                   "_computeReward", "_computeTerminated", "_computeTruncated",
+                   "_computeInfo"],
+    "CFAviary": ["__init__", "step", "_update_initial_state",
+                 "_initalize_cffirmware", "_update_sensorData", "_update_gyro",
+                 "_update_acc", "_update_baro", "_update_state",
+                 "_update_3D_vec", "_update_attitudeQuaternion",
+                 "_update_attitude_t", "_step_controller", "_updateSetpoint",
+                 "_process_command_queue", "sendFullStateCmd",
+                 "sendTakeoffCmd", "sendTakeoffYawCmd", "sendTakeoffVelCmd",
+                 "sendLandCmd", "sendLandYawCmd", "sendLandVelCmd",
+                 "sendStopCmd", "sendGotoCmd", "notifySetpointStop",
+                 "_motorsGetPWM", "_limitThrust", "_powerDistribution",
+                 "_actionSpace", "_observationSpace", "_computeObs",
+                 "_preprocessAction", "_computeReward", "_computeTerminated",
+                 "_computeTruncated", "_computeInfo"],
+    "BaseControl": ["__init__", "reset", "computeControlFromState",
+                    "computeControl", "setPIDCoefficients",
+                    "_getURDFParameter"],
+    "DSLPIDControl": ["__init__", "reset", "computeControl",
+                      "_dslPIDPositionControl", "_dslPIDAttitudeControl",
+                      "_one23DInterface"],
+    "CTBRControl": ["__init__", "reset", "computeControlFromState",
+                    "computeControl", "setPIDCoefficients",
+                    "_getURDFParameter"],
+    "MRAC": ["__init__", "_compute_K", "reset", "computeControl"],
+    "Logger": ["__init__", "log", "save", "save_as_csv", "plot"],
+}
+
+_FILES = {
+    "BaseAviary": "envs/BaseAviary.py", "CtrlAviary": "envs/CtrlAviary.py",
+    "VelocityAviary": "envs/VelocityAviary.py",
+    "BaseRLAviary": "envs/BaseRLAviary.py", "HoverAviary": "envs/HoverAviary.py",
+    "MultiHoverAviary": "envs/MultiHoverAviary.py",
+    "BetaAviary": "envs/BetaAviary.py", "CFAviary": "envs/CFAviary.py",
+    "BaseControl": "control/BaseControl.py",
+    "DSLPIDControl": "control/DSLPIDControl.py",
+    "CTBRControl": "control/CTBRControl.py", "MRAC": "control/MRAC.py",
+    "Logger": "utils/Logger.py",
+}
+
+
+def _collect_reference():
+    if not os.path.isdir(REF_ROOT):
+        return _SNAPSHOT
+    out = {}
+    for cls, rel in _FILES.items():
+        tree = ast.parse(open(os.path.join(REF_ROOT, rel)).read())
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ClassDef) and node.name == cls:
+                out[cls] = sorted(
+                    sub.name for sub in ast.walk(node)
+                    if isinstance(sub, (ast.FunctionDef, ast.AsyncFunctionDef)))
+    return out
+
+
+def _our_classes():
+    from gym_pybullet_drones_tpu.compat import gym as cg
+    from gym_pybullet_drones_tpu.control import compat as cc
+    from gym_pybullet_drones_tpu.envs import beta as eb
+    from gym_pybullet_drones_tpu.envs import cf as ec
+    from gym_pybullet_drones_tpu.utils import logger as ul
+
+    return {
+        "BaseAviary": cg.BaseAviaryEnv, "CtrlAviary": cg.CtrlAviary,
+        "VelocityAviary": cg.VelocityAviary, "BaseRLAviary": cg._RLAviary,
+        "HoverAviary": cg.HoverAviary, "MultiHoverAviary": cg.MultiHoverAviary,
+        "BetaAviary": eb.BetaAviary, "CFAviary": ec.CFAviary,
+        "BaseControl": cc.BaseControl, "DSLPIDControl": cc.DSLPIDControl,
+        "CTBRControl": cc.CTBRControl, "MRAC": cc.MRAC, "Logger": ul.Logger,
+    }
+
+
+@pytest.mark.parametrize("cls_name", sorted(_SNAPSHOT))
+def test_reference_methods_present(cls_name):
+    ref = _collect_reference()
+    ours = _our_classes()[cls_name]
+    have = set(dir(ours))
+    missing = sorted(m for m in ref.get(cls_name, ())
+                     if m not in have and not m.startswith("__"))
+    assert not missing, f"{cls_name} missing reference methods: {missing}"

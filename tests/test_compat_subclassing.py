@@ -157,3 +157,38 @@ def test_default_hooks_preserve_builtin_behavior():
     assert env._computeTerminated() == term
     assert env._computeTruncated() == trunc
     env.close()
+
+
+def test_physics_term_probes():
+    """The per-drone physics methods (BaseAviary.py:679-892) exist as probe
+    shims returning the values the fused kernel applies."""
+    env = CtrlAviary(num_drones=2, initial_xyzs=np.array([[0, 0, 0.05],
+                                                          [0, 0, 1.0]]))
+    env.reset(seed=0)
+    rpm = np.full(4, env.HOVER_RPM)
+
+    forces, z_torque = env._physics(rpm, 0)
+    np.testing.assert_allclose(forces, env.KF * rpm**2, rtol=1e-5)
+    assert z_torque == pytest.approx(0.0, abs=1e-9)  # equal RPMs cancel
+
+    ge = env._groundEffect(rpm, 0)
+    assert ge.shape == (4,) and np.all(ge > 0)  # near the ground
+    ge_high = env._groundEffect(rpm, 1)
+    assert np.all(ge_high < ge)  # decays with height
+
+    drag = env._drag(rpm, 0)
+    np.testing.assert_allclose(drag, 0.0, atol=1e-9)  # zero velocity
+
+    dw = env._downwash(0)  # drone 1 hovers directly above drone 0
+    assert dw[2] < 0 and dw[0] == dw[1] == 0
+    assert env._downwash(1)[2] == 0  # nothing above the top drone
+
+    pos, quat, vel, rates = env._dynamics(rpm, 0)
+    assert pos.shape == (3,) and quat.shape == (4,)
+    assert abs(vel[2]) < 0.01  # hover RPM: near-zero vertical accel
+
+    q = env._integrateQ(np.array([0, 0, 0, 1.0]),
+                        np.array([0, 0, np.pi / 2]), 1.0)
+    np.testing.assert_allclose(np.abs(q), [0, 0, np.sqrt(0.5), np.sqrt(0.5)],
+                               atol=1e-6)  # quarter-turn about z
+    env.close()

@@ -101,3 +101,72 @@ def test_compat_controller_shells():
     rpm, pos_e, rpy_e = mrac.computeControlFromState(
         1 / 120, state20, target_pos=np.array([0.0, 0.0, 1.0]))
     assert rpm.shape == (4,) and np.all(np.isfinite(rpm))
+
+
+def test_base_control_pid_coefficient_surface():
+    """setPIDCoefficients retunes the DSLPID kernel through the reference
+    attribute names (BaseControl.py:138-177) and errors out, reference-style,
+    on non-PID controllers."""
+    import pytest as _pytest
+
+    from gym_pybullet_drones_tpu.control.compat import CTBRControl, DSLPIDControl
+
+    c = DSLPIDControl(DroneModel.CF2X)
+    state = np.zeros(20)
+    state[6] = 1.0
+    # small error so the PWM stays off the 65535 clip and gains are visible
+    target = np.array([0.0, 0.0, 0.02])
+    rpm_before, _, _ = c.computeControlFromState(1 / 48, state, target)
+    c.setPIDCoefficients(p_coeff_pos=np.array([4.0, 4.0, 12.5]))
+    np.testing.assert_allclose(c.P_COEFF_FOR, [4.0, 4.0, 12.5])
+    c.reset()
+    rpm_after, _, _ = c.computeControlFromState(1 / 48, state, target)
+    assert not np.allclose(rpm_before, rpm_after)
+
+    with _pytest.raises(SystemExit):
+        CTBRControl(DroneModel.RACE).setPIDCoefficients(p_coeff_pos=[1, 1, 1])
+
+
+def test_dsl_pid_internal_loops_compose():
+    """_dslPIDPositionControl + _dslPIDAttitudeControl equal computeControl
+    (DSLPIDControl.py:130-145), and _getURDFParameter reads the packaged
+    URDF with the reference's positional indexing."""
+    from gym_pybullet_drones_tpu.control.compat import DSLPIDControl
+
+    state = np.zeros(20)
+    state[2], state[6] = 0.1, 1.0
+    target = np.array([0.2, -0.1, 1.0])
+
+    c1 = DSLPIDControl(DroneModel.CF2X)
+    thrust, target_euler, pos_e = c1._dslPIDPositionControl(
+        1 / 48, state[0:3], state[3:7], state[10:13], target,
+        np.zeros(3), np.zeros(3))
+    rpm_split = c1._dslPIDAttitudeControl(1 / 48, thrust, state[3:7],
+                                          target_euler, np.zeros(3))
+    c2 = DSLPIDControl(DroneModel.CF2X)
+    rpm_full, pos_e_full, _ = c2.computeControlFromState(1 / 48, state, target)
+    np.testing.assert_allclose(rpm_split, rpm_full, atol=1e-2)
+    np.testing.assert_allclose(pos_e, pos_e_full, atol=1e-6)
+
+    pwm = c1._one23DInterface(np.array([0.27]))
+    assert pwm.shape == (4,) and np.all(pwm >= c1.MIN_PWM)
+
+    assert c1._getURDFParameter("m") == pytest.approx(0.027)
+    assert c1._getURDFParameter("kf") == pytest.approx(3.16e-10)
+    assert c1._getURDFParameter("radius") == pytest.approx(0.06)
+
+
+def test_mrac_compute_k_reference_surface():
+    """MRAC._compute_K (MRAC.py:56-104) re-derives the placed-pole gains and
+    exposes the reference-named linear-algebra attributes."""
+    from gym_pybullet_drones_tpu.control.compat import MRAC
+
+    m = MRAC(DroneModel.CF2X)
+    Kx, Kr = m._compute_K()
+    assert Kx.shape == (12, 4) and np.allclose(Kr, np.eye(4))
+    eig = np.linalg.eigvals(m.Am)
+    assert np.all(eig.real < 0)  # reference model is Hurwitz by construction
+    # Lyapunov residual: Am^T P + P Am = -Q with Q = 600 I (float32 params,
+    # so the residual carries single-precision round-off)
+    res = m.Am.T @ m.P + m.P @ m.Am + 600 * np.eye(12)
+    assert np.abs(res).max() < 0.01

@@ -13,6 +13,14 @@ from gym_pybullet_drones_tpu.control.mrac import (
     mrac_params,
     mrac_reset,
 )
+from gym_pybullet_drones_tpu.control.mellinger import (
+    MellingerParams,
+    MellingerState,
+    mellinger_control,
+    mellinger_params,
+    mellinger_reset,
+    mellinger_rpm,
+)
 from gym_pybullet_drones_tpu.control.compat import (
     BaseControl,
     CTBRControl,

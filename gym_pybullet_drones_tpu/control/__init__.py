@@ -21,6 +21,12 @@ from gym_pybullet_drones_tpu.control.mellinger import (
     mellinger_reset,
     mellinger_rpm,
 )
+from gym_pybullet_drones_tpu.control.commander import (
+    MissionLegs,
+    mission_finished,
+    mission_setpoint,
+    plan_mission,
+)
 from gym_pybullet_drones_tpu.control.compat import (
     BaseControl,
     CTBRControl,

@@ -27,21 +27,28 @@ from gym_pybullet_drones_tpu.envs.spec import (
 try:
     from gymnasium.envs.registration import register as _register
 
+    # vector_entry_point: `gym.make_vec(id, num_envs=E)` builds the batched
+    # one-dispatch-per-step VecAviary (compat/vector.py) instead of E host
+    # envs — the TPU-native replacement for SB3's make_vec_env.
     _register(
         id="ctrl-aviary-v0",
         entry_point="gym_pybullet_drones_tpu.compat.gym:CtrlAviary",
+        vector_entry_point="gym_pybullet_drones_tpu.compat.vector:_vec_ctrl",
     )
     _register(
         id="velocity-aviary-v0",
         entry_point="gym_pybullet_drones_tpu.compat.gym:VelocityAviary",
+        vector_entry_point="gym_pybullet_drones_tpu.compat.vector:_vec_velocity",
     )
     _register(
         id="hover-aviary-v0",
         entry_point="gym_pybullet_drones_tpu.compat.gym:HoverAviary",
+        vector_entry_point="gym_pybullet_drones_tpu.compat.vector:_vec_hover",
     )
     _register(
         id="multihover-aviary-v0",
         entry_point="gym_pybullet_drones_tpu.compat.gym:MultiHoverAviary",
+        vector_entry_point="gym_pybullet_drones_tpu.compat.vector:_vec_multihover",
     )
 except Exception:  # pragma: no cover - gymnasium absent or double registration
     pass

@@ -299,7 +299,8 @@ class BaseAviaryEnv(gym.Env):
         RL landmarks for introspection."""
         from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
 
-        return np.asarray(rl_obstacles(self.cfg.jnp_dtype))
+        obs = rl_obstacles(self.cfg.jnp_dtype)
+        return np.column_stack([np.asarray(obs.pos), np.asarray(obs.radius)])
 
     def _showDroneLocalAxes(self, nth_drone: int):
         """GUI debug-line shim (BaseAviary.py:964-980): the PyBullet
@@ -491,7 +492,7 @@ class BaseAviaryEnv(gym.Env):
 
             rgba, _, _ = render_drone_views(
                 self._state.kin.pos, self._state.kin.quat, self.params.arm,
-                CameraConfig(width=128, height=96))
+                CameraConfig(width=128, height=96), cam_indices=0)
             export_image(ImageType.RGB, np.asarray(rgba[0]),
                          self._record_dir, self._frame_num)
             self._frame_num += 1

@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 
 from gym_pybullet_drones_tpu.compat.gym import BaseAviaryEnv, HoverAviary
-from gym_pybullet_drones_tpu.runtime.rollout import batch_reset, make_batched_step
+from gym_pybullet_drones_tpu.runtime.rollout import (
+    batch_reset,
+    make_batched_step,
+    nominal_params,
+)
 
 
 class VecAviary(VectorEnv):
@@ -103,7 +107,22 @@ class VecAviary(VectorEnv):
                 domain_rand)
         self._params = params
         self._cfg = t.cfg
-        self._state = batch_reset(t.cfg, params, self.num_envs)
+
+        # nominal_params slices env 0 out of a batched (domain-rand) pytree;
+        # it must run OUTSIDE the jit trace — envbase.reset reads geometry
+        # with host float() calls, which need concrete (closed-over) values.
+        nom = nominal_params(params)
+
+        def _reset():
+            state = batch_reset(t.cfg, nom, self.num_envs)
+            obs = jax.vmap(lambda s: _obs_of(t.cfg, s))(state)
+            return state, obs
+
+        # Both paths are jitted: reset would otherwise dispatch its broadcast
+        # and the vmapped obs computation (an eager render for RGB templates)
+        # op by op — ruinous over the TPU tunnel (~1 s per eager op).
+        self._jit_reset = jax.jit(_reset)
+        self._state, _ = self._jit_reset()
         step = make_batched_step(
             t.cfg, params, t.ctrl_params, t.target_pos, auto_reset=True)
         self._jit_step = jax.jit(step)
@@ -117,10 +136,8 @@ class VecAviary(VectorEnv):
         if seed is not None:
             self.single_action_space.seed(seed)
             self.action_space.seed(seed)
-        self._state = batch_reset(self._cfg, self._params, self.num_envs)
-        obs = np.asarray(
-            jax.vmap(lambda s: _obs_of(self._cfg, s))(self._state))
-        return self._np_obs(obs), {}
+        self._state, obs = self._jit_reset()
+        return self._np_obs(np.asarray(obs)), {}
 
     def step(self, actions):
         actions = np.asarray(actions, dtype=np.float32).reshape(self._act_shape)
@@ -134,12 +151,16 @@ class VecAviary(VectorEnv):
         if done.any():
             # gymnasium SAME_STEP convention (vector/sync_vector_env.py):
             # object arrays valid where the matching `_`-prefixed mask is set.
+            # Episodes are deterministic-length, so often ALL envs finish on
+            # the same step — build the object arrays without a Python loop.
             fo = np.full(self.num_envs, None, dtype=object)
             fi = np.full(self.num_envs, None, dtype=object)
             np_final = self._np_obs(np.asarray(final_obs))
-            for i in np.nonzero(done)[0]:
-                fo[i] = np_final[i]
-                fi[i] = {}
+            n_done = int(done.sum())
+            per_env = np.empty(n_done, dtype=object)
+            per_env[:] = list(np_final[done])
+            fo[done] = per_env
+            fi[done] = np.array([{} for _ in range(n_done)], dtype=object)
             infos = {"final_obs": fo, "_final_obs": done.copy(),
                      "final_info": fi, "_final_info": done.copy()}
         return (self._np_obs(np.asarray(obs)),
@@ -153,9 +174,8 @@ class VecAviary(VectorEnv):
 
     # -- helpers ---------------------------------------------------------------
 
-    @staticmethod
-    def _np_obs(obs):
-        return obs if obs.dtype == np.uint8 else obs.astype(np.float32)
+    # uint8-passthrough / float32-cast, shared with the single-env shell
+    _np_obs = staticmethod(BaseAviaryEnv._np_obs)
 
 
 def _obs_of(cfg, state):

@@ -68,12 +68,15 @@ class BaseControl:
                   "coefficients exist as attributes in the instantiated "
                   "control class.")
             raise SystemExit(1)
-        self.P_COEFF_FOR = self.P_COEFF_FOR if p_coeff_pos is None else p_coeff_pos
-        self.I_COEFF_FOR = self.I_COEFF_FOR if i_coeff_pos is None else i_coeff_pos
-        self.D_COEFF_FOR = self.D_COEFF_FOR if d_coeff_pos is None else d_coeff_pos
-        self.P_COEFF_TOR = self.P_COEFF_TOR if p_coeff_att is None else p_coeff_att
-        self.I_COEFF_TOR = self.I_COEFF_TOR if i_coeff_att is None else i_coeff_att
-        self.D_COEFF_TOR = self.D_COEFF_TOR if d_coeff_att is None else d_coeff_att
+        # Assign only the gains actually supplied: each attribute write on
+        # DSLPIDControl swaps the params pytree and invalidates the compiled
+        # kernel (a full retrace at the next control step), so a None
+        # (keep-current) argument must not touch the attribute.
+        for attr, value in zip(ATTR_LIST, (p_coeff_pos, i_coeff_pos,
+                                           d_coeff_pos, p_coeff_att,
+                                           i_coeff_att, d_coeff_att)):
+            if value is not None:
+                setattr(self, attr, value)
 
     def _getURDFParameter(self, parameter_name: str) -> float:
         """Positional-XML URDF parameter read (BaseControl._getURDFParameter,

@@ -140,8 +140,9 @@ class AviaryConfig:
         """Physics substeps between onboard-camera captures: the reference
         grabs frames at 24 FPS of sim time and HOLDS them in between
         (IMG_FRAME_PER_SEC/IMG_CAPTURE_FREQ, BaseAviary.py:135-136;
-        capture gate BaseRLAviary.py:294)."""
-        return int(self.pyb_freq / 24)
+        capture gate BaseRLAviary.py:294). Clamped to >= 1 (a pyb_freq
+        below 24 Hz would otherwise gate captures on `count % 0`)."""
+        return max(1, int(self.pyb_freq / 24))
 
 
 @struct.dataclass
@@ -417,10 +418,21 @@ def step(
     task's obs/reward/termination rules still apply — the hook for user
     subclasses that override the reference's ``_preprocessAction``
     (BaseAviary.py:349-372 feeds `_physics` whatever that override returns).
-    ``action`` still feeds the action buffer with its original shape.
+    On that path ``action`` may have ANY shape (a custom ``_actionSpace``);
+    it feeds the action buffer only when its size matches the built-in
+    (num_drones, action_dim) layout — a custom-shaped action leaves the
+    buffer untouched (the typed device buffer cannot hold foreign shapes).
     """
-    action = jnp.asarray(action, dtype=cfg.jnp_dtype).reshape(cfg.num_drones, cfg.action_dim)
-    if cfg.action_buffer_size > 0:
+    action = jnp.asarray(action, dtype=cfg.jnp_dtype)
+    builtin_layout = action.size == cfg.num_drones * cfg.action_dim
+    if builtin_layout:
+        action = action.reshape(cfg.num_drones, cfg.action_dim)
+    elif preprocessed_rpm is None:
+        raise ValueError(
+            f"action of size {action.size} does not fit the "
+            f"({cfg.num_drones}, {cfg.action_dim}) action layout; custom "
+            "action shapes require preprocessed_rpm (_preprocessAction hook)")
+    if cfg.action_buffer_size > 0 and builtin_layout:
         buf = jnp.concatenate([state.action_buffer[1:], action[None]], axis=0)
         state = state.replace(action_buffer=buf)
     if preprocessed_rpm is None:

@@ -106,10 +106,13 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     use_dw = flags.pop("dw")
     dw_fn = make_downwash_pallas(params, interpret=interpret) if use_dw else None
     collide_fn = make_collide_pallas(params, interpret=interpret) if collisions else None
-    # With BOTH interactions on, substep k's contact (post-integration state)
-    # and substep k+1's wake (pre-integration state) read the SAME positions,
-    # so one fused pair pass serves both: n+1 passes per control step instead
-    # of 2n (ops/interact_pallas.py).
+    # With BOTH interactions on, one fused pair pass computes substep k's
+    # contact AND substep k+1's wake from the post-integration positions:
+    # n+1 passes per control step instead of 2n. NOT exactly the dense
+    # pipeline: the dense path feeds substep k+1's wake the post-PUSHOUT
+    # positions, so on contacting swarms the fused wake lags by up to one
+    # max_push (1 cm) per substep — the stated deviation in
+    # ops/interact_pallas.py's header.
     interact_fn = (make_interact_pallas(params, interpret=interpret)
                    if (use_dw and collisions) else None)
     collide_last = (make_collide_pallas(params, interpret=interpret,

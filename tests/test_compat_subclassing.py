@@ -192,3 +192,33 @@ def test_physics_term_probes():
     np.testing.assert_allclose(np.abs(q), [0, 0, np.sqrt(0.5), np.sqrt(0.5)],
                                atol=1e-6)  # quarter-turn about z
     env.close()
+
+
+class _ScalarThrottleAviary(CtrlAviary):
+    """Custom action SHAPE: a reference-style subclass that overrides BOTH
+    _actionSpace (a single scalar throttle per drone) and _preprocessAction —
+    the size no longer matches the built-in (N, 4) layout."""
+
+    def _actionSpace(self):
+        from gymnasium import spaces
+
+        return spaces.Box(low=0.0, high=1.0, shape=(self.NUM_DRONES,),
+                          dtype=np.float32)
+
+    def _preprocessAction(self, action):
+        return np.tile((np.asarray(action) * self.MAX_RPM)[:, None], (1, 4))
+
+
+def test_custom_action_shape_steps_without_builtin_reshape():
+    env = _ScalarThrottleAviary(num_drones=2,
+                                initial_xyzs=np.array([[0.0, 0.0, 1.0],
+                                                       [1.0, 0.0, 1.0]]))
+    env.reset(seed=0)
+    hover_frac = env.HOVER_RPM / env.MAX_RPM
+    for _ in range(env.CTRL_FREQ):
+        obs, reward, term, trunc, info = env.step(
+            np.full(2, hover_frac, dtype=np.float32))
+    assert abs(env.pos[0, 2] - 1.0) < 5e-3, env.pos
+    np.testing.assert_allclose(env.last_clipped_action,
+                               np.full((2, 4), env.HOVER_RPM), rtol=1e-6)
+    env.close()

@@ -51,14 +51,17 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             dvy[:] = jnp.zeros_like(dvy)
             dvz[:] = jnp.zeros_like(dvz)
 
-        # delta points from source partner toward the target drone
+        # delta points from source partner toward the target drone.
+        # Squared-distance form: rsqrt(d2) gives the unit normal and (via
+        # d2*inv) the distance — one rsqrt instead of sqrt + divide per pair.
         dx = xt[:] - xs[:]  # (BT, BS)
         dy = yt[:] - ys[:]
         dz = zt[:] - zs[:]
-        dist = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        contact = (dist < min_dist) & (dist > eps)
+        d2 = dx * dx + dy * dy + dz * dz
+        contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
+        inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
+        dist = d2 * inv
         overlap = jnp.where(contact, min_dist - dist, 0.0)
-        inv = 1.0 / jnp.maximum(dist, eps)
         nx, ny, nz = dx * inv, dy * inv, dz * inv
 
         push = jnp.minimum(0.5 * overlap, max_push)

@@ -29,10 +29,10 @@ _BS = 512  # sources per block (lane axis)
 def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
                          interpret: bool = False):
     """Build `dw(pos) -> (N,)` for (N, 3) positions; N % max(bt, bs) == 0."""
-    c1 = float(params.dw_coeff_1)
     c2 = float(params.dw_coeff_2)
     c3 = float(params.dw_coeff_3)
-    pr = float(params.prop_radius)
+    # alpha = c1 * (pr / (4 dz))^2 = K / dz^2 with the constant prefolded
+    K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
 
     def kernel(xt, yt, zt, xs, ys, zs, out):
         j = pl.program_id(1)
@@ -41,16 +41,20 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         def _():
             out[:] = jnp.zeros_like(out)
 
+        # Squared-distance form: the lateral cutoff and the Gaussian both
+        # consume dxy^2, so the per-pair sqrt of the naive form is dead work
+        # (algebraically identical; parity vs the dense reference-semantics
+        # path is tested at 1e-4 in tests/test_soa.py).
         dx = xs[:] - xt[:]  # (BT, BS) via (1, BS) - (BT, 1)
         dy = ys[:] - yt[:]
         dz = zs[:] - zt[:]
-        dxy = jnp.sqrt(dx * dx + dy * dy)
+        dxy2 = dx * dx + dy * dy
         safe_dz = jnp.where(dz > 0, dz, 1.0)
-        alpha = c1 * (pr / (4.0 * safe_dz)) ** 2
+        alpha = K / (safe_dz * safe_dz)
         beta = c2 * safe_dz + c3
-        safe_beta = jnp.where(jnp.abs(beta) > 1e-12, beta, 1.0)
-        mag = alpha * jnp.exp(-0.5 * (dxy / safe_beta) ** 2)
-        mask = (dz > 0) & (dxy < 10.0)
+        safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
+        mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+        mask = (dz > 0) & (dxy2 < 100.0)
         contrib = jnp.where(mask, mag, 0.0)
         out[:] -= jnp.sum(contrib, axis=1, keepdims=True)
 

@@ -26,7 +26,7 @@ _BS = 512
 
 def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
                         max_push: float = 0.01, interpret: bool = False,
-                        return_delta: bool = False):
+                        return_delta: bool = False, z_sort=None):
     """Build `resolve(pos, vel) -> (new_pos, new_vel)` for (N, 3) fleets;
     N % bt == 0 and N % bs == 0. With ``return_delta`` the corrections
     (dpos, dvel) are returned directly — callers that re-derive deltas by
@@ -34,11 +34,26 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     pushouts against large coordinates.
 
     The kernel computes in float32 (the production swarm dtype); other input
-    dtypes are cast in and the results cast back."""
+    dtypes are cast in and the results cast back.
+
+    ``z_sort``: internally sort the fleet by altitude (scattering the
+    corrections back). Contact needs |dz| < min_dist, so in sorted order a
+    tile contributes only when its source block's z-interval comes within
+    min_dist of the target block's — read off the tile's own first/last
+    elements — and every other tile's math is skipped exactly. On a fleet
+    spread over a z-extent >> min_dist this removes almost all pair work.
+    Sorting reorders the f32 correction sums (round-off on well-conditioned
+    geometry; see the downwash_pallas note for the ill-conditioned caveat).
+    Default ``None`` = auto: sort when N >= downwash_pallas.Z_SORT_MIN_N."""
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import Z_SORT_MIN_N
+
     min_dist = 2.0 * float(params.collision_r)
     eps = 1e-9
 
-    def kernel(xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
+    def make_kernel(use_sort):
+        return lambda *refs: kernel(use_sort, *refs)
+
+    def kernel(use_sort, xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
                dpx, dpy, dpz, dvx, dvy, dvz):
         j = pl.program_id(1)
 
@@ -51,40 +66,57 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             dvy[:] = jnp.zeros_like(dvy)
             dvz[:] = jnp.zeros_like(dvz)
 
-        # delta points from source partner toward the target drone.
-        # Squared-distance form: rsqrt(d2) gives the unit normal and (via
-        # d2*inv) the distance — one rsqrt instead of sqrt + divide per pair.
-        dx = xt[:] - xs[:]  # (BT, BS)
-        dy = yt[:] - ys[:]
-        dz = zt[:] - zs[:]
-        d2 = dx * dx + dy * dy + dz * dz
-        contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
-        inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
-        dist = d2 * inv
-        overlap = jnp.where(contact, min_dist - dist, 0.0)
-        nx, ny, nz = dx * inv, dy * inv, dz * inv
+        def contact_math():
+            # delta points from source partner toward the target drone.
+            # Squared-distance form: rsqrt(d2) gives the unit normal and (via
+            # d2*inv) the distance — one rsqrt, no sqrt/divide per pair.
+            dx = xt[:] - xs[:]  # (BT, BS)
+            dy = yt[:] - ys[:]
+            dz = zt[:] - zs[:]
+            d2 = dx * dx + dy * dy + dz * dz
+            contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
+            inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
+            dist = d2 * inv
+            overlap = jnp.where(contact, min_dist - dist, 0.0)
+            nx, ny, nz = dx * inv, dy * inv, dz * inv
 
-        push = jnp.minimum(0.5 * overlap, max_push)
-        dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
-        dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
-        dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
+            push = jnp.minimum(0.5 * overlap, max_push)
+            dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
+            dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
+            dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
 
-        rvx = vxt[:] - vxs[:]
-        rvy = vyt[:] - vys[:]
-        rvz = vzt[:] - vzs[:]
-        vn = rvx * nx + rvy * ny + rvz * nz
-        appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
-        dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
-        dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
-        dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+            rvx = vxt[:] - vxs[:]
+            rvy = vyt[:] - vys[:]
+            rvz = vzt[:] - vzs[:]
+            vn = rvx * nx + rvy * ny + rvz * nz
+            appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
+            dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
+            dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
+            dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+
+        if use_sort:
+            # z-ascending tiles: first/last elements ARE the block's z
+            # bounds; skip tiles whose z-intervals are > min_dist apart.
+            live = ((zs[0, bs - 1] >= zt[0, 0] - min_dist)
+                    & (zs[0, 0] <= zt[bt - 1, 0] + min_dist))
+
+            @pl.when(live)
+            def _():
+                contact_math()
+        else:
+            contact_math()
 
     def resolve_cols(x, y, z, vx, vy, vz):
         """Column-level entry: six (N,) arrays -> ((dpx,dpy,dpz),
         (dvx,dvy,dvz)) correction columns (always delta form)."""
         N = x.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        if use_sort:
+            order = jnp.argsort(comps[2])
+            comps = [a[order] for a in comps]
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
@@ -94,14 +126,17 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         o_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
-            kernel,
+            make_kernel(use_sort),
             grid=(N // bt, N // bs),
             in_specs=[t_spec] * 6 + [s_spec] * 6,
             out_specs=[o_spec] * 6,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 6,
             interpret=interpret,
         )(*cols_t, *cols_s)
-        cols = [o[:, 0].astype(in_dtype) for o in outs]
+        cols = [o[:, 0] for o in outs]
+        if use_sort:
+            cols = [jnp.zeros_like(o).at[order].set(o) for o in cols]
+        cols = [o.astype(in_dtype) for o in cols]
         return tuple(cols[0:3]), tuple(cols[3:6])
 
     def resolve(pos, vel):

@@ -5,15 +5,14 @@ tensor — fine at 4096 drones (~67 MB of intermediates), impossible at 65k+
 (17 GB). This kernel tiles the pair space like an n-body kernel: a 2-D grid
 over (target block, source block), each cell computing a (BT, BS) interaction
 tile in VMEM and accumulating the source-sum into the target block's output.
-Peak memory is O(N + BT*BS); arithmetic is identical to
-`aero.downwash_forces_body_z` (BaseAviary._downwash semantics, :798-811).
+Peak memory is O(N + BT*BS); arithmetic is the squared-distance form of
+`aero.downwash_forces_body_z` (BaseAviary._downwash semantics, :798-811) —
+algebraically identical, parity-tested at 1e-4.
 
 Layout: target coordinates ride the sublane axis ((BT, 1) blocks), source
 coordinates the lane axis ((1, BS) blocks), so the (BT, BS) tile is a plain
 VPU outer-product broadcast.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -25,46 +24,82 @@ from gym_pybullet_drones_tpu.core.params import DroneParams
 _BT = 256  # targets per block (sublane axis)
 _BS = 512  # sources per block (lane axis)
 
+# Fleet size above which z-sorted tile culling pays for its argsort + gather
+# + scatter overhead (measured crossover on one chip, docs/PERF.md: hurts at
+# 4096 where the pair pass is not dominant, +42-60% at 16384+).
+Z_SORT_MIN_N = 8192
+
 
 def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
-                         interpret: bool = False):
-    """Build `dw(pos) -> (N,)` for (N, 3) positions; N % max(bt, bs) == 0."""
+                         interpret: bool = False, z_sort=None):
+    """Build `dw(pos) -> (N,)` for (N, 3) positions; N % max(bt, bs) == 0.
+
+    ``z_sort``: internally sort the fleet by altitude before the pair pass
+    (and scatter the result back). The wake mask needs dz > 0, and in
+    z-ascending order every pair whose source index <= target index has
+    dz <= 0 — so tiles entirely below the sorted diagonal are PROVABLY all
+    masked and the kernel skips their math: an exact ~2x cut of the pair
+    work, not an approximation. Sorting reorders the f32 wake summation;
+    on well-conditioned geometry the difference is round-off (the dense
+    path's own reduction order is unspecified anyway), but in the
+    ill-conditioned near-coincident regime (tests/test_rollout.py:228 note)
+    ANY reorder diverges — same caveat as every other execution order.
+    Default ``None`` = auto: sort when N >= Z_SORT_MIN_N (the measured
+    crossover where culling beats the sort/scatter overhead)."""
     c2 = float(params.dw_coeff_2)
     c3 = float(params.dw_coeff_3)
     # alpha = c1 * (pr / (4 dz))^2 = K / dz^2 with the constant prefolded
     K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
 
-    def kernel(xt, yt, zt, xs, ys, zs, out):
-        j = pl.program_id(1)
+    def make_kernel(use_sort):
+        def kernel(xt, yt, zt, xs, ys, zs, out):
+            j = pl.program_id(1)
 
-        @pl.when(j == 0)
-        def _():
-            out[:] = jnp.zeros_like(out)
+            @pl.when(j == 0)
+            def _():
+                out[:] = jnp.zeros_like(out)
 
-        # Squared-distance form: the lateral cutoff and the Gaussian both
-        # consume dxy^2, so the per-pair sqrt of the naive form is dead work
-        # (algebraically identical; parity vs the dense reference-semantics
-        # path is tested at 1e-4 in tests/test_soa.py).
-        dx = xs[:] - xt[:]  # (BT, BS) via (1, BS) - (BT, 1)
-        dy = ys[:] - yt[:]
-        dz = zs[:] - zt[:]
-        dxy2 = dx * dx + dy * dy
-        safe_dz = jnp.where(dz > 0, dz, 1.0)
-        alpha = K / (safe_dz * safe_dz)
-        beta = c2 * safe_dz + c3
-        safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
-        mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
-        mask = (dz > 0) & (dxy2 < 100.0)
-        contrib = jnp.where(mask, mag, 0.0)
-        out[:] -= jnp.sum(contrib, axis=1, keepdims=True)
+            def pair_math():
+                # Squared-distance form: the lateral cutoff and the Gaussian
+                # both consume dxy^2, so the per-pair sqrt of the naive form
+                # is dead work.
+                dx = xs[:] - xt[:]  # (BT, BS) via (1, BS) - (BT, 1)
+                dy = ys[:] - yt[:]
+                dz = zs[:] - zt[:]
+                dxy2 = dx * dx + dy * dy
+                safe_dz = jnp.where(dz > 0, dz, 1.0)
+                alpha = K / (safe_dz * safe_dz)
+                beta = c2 * safe_dz + c3
+                safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
+                mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+                mask = (dz > 0) & (dxy2 < 100.0)
+                contrib = jnp.where(mask, mag, 0.0)
+                out[:] -= jnp.sum(contrib, axis=1, keepdims=True)
+
+            if use_sort:
+                # z-ascending order: a tile whose every source index <= every
+                # target index holds only dz <= 0 pairs — all masked, skip.
+                i = pl.program_id(0)
+
+                @pl.when((j + 1) * bs - 1 > i * bt)
+                def _():
+                    pair_math()
+            else:
+                pair_math()
+
+        return kernel
 
     def dw_cols(x, y, z):
         """Column-level entry: (N,) f32 coordinate arrays -> (N,) wake
         magnitudes (no (N,3) packing — the SoA swarm path feeds columns)."""
         N = x.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
+        if use_sort:
+            order = jnp.argsort(z)
+            x, y, z = x[order], y[order], z[order]
         xt = x.reshape(N, 1)
         yt = y.reshape(N, 1)
         zt = z.reshape(N, 1)
@@ -76,7 +111,7 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            kernel,
+            make_kernel(use_sort),
             grid=(N // bt, N // bs),
             in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
             out_specs=pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
@@ -84,7 +119,10 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
             interpret=interpret,
         )(xt, yt, zt, xs, ys, zs)
-        return out[:, 0].astype(in_dtype)
+        res = out[:, 0]
+        if use_sort:
+            res = jnp.zeros_like(res).at[order].set(res)
+        return res.astype(in_dtype)
 
     def dw(pos):
         return dw_cols(pos[:, 0], pos[:, 1], pos[:, 2])

@@ -38,9 +38,21 @@ _BS = 512
 
 
 def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
-                         max_push: float = 0.01, interpret: bool = False):
+                         max_push: float = 0.01, interpret: bool = False,
+                         z_sort=None):
     """Build `interact(pos, vel) -> (dw_mag, dpos, dvel)` for (N, 3) fleets;
-    N % bt == 0 and N % bs == 0."""
+    N % bt == 0 and N % bs == 0.
+
+    ``z_sort``: internally sort by altitude and scatter results back. Two
+    exact tile-level culls then apply (see downwash_pallas / collide_pallas
+    for the derivations and the f32-reorder caveat): the wake section is
+    skipped on tiles entirely below the sorted diagonal (dz <= 0 everywhere),
+    and the contact section on tiles whose block z-intervals are more than
+    min_dist apart. The shared pair deltas are recomputed per live section —
+    a few elementwise ops against an entire section's math skipped.
+    Default ``None`` = auto: sort when N >= downwash_pallas.Z_SORT_MIN_N."""
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import Z_SORT_MIN_N
+
     c2 = float(params.dw_coeff_2)
     c3 = float(params.dw_coeff_3)
     # alpha = c1 * (pr / (4 dz))^2 = K / dz^2 with the constant prefolded
@@ -48,7 +60,10 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     min_dist = 2.0 * float(params.collision_r)
     eps = 1e-9
 
-    def kernel(xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
+    def make_kernel(use_sort):
+        return lambda *refs: kernel(use_sort, *refs)
+
+    def kernel(use_sort, xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
                dw, dpx, dpy, dpz, dvx, dvy, dvz):
         j = pl.program_id(1)
 
@@ -57,51 +72,77 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             for o in (dw, dpx, dpy, dpz, dvx, dvy, dvz):
                 o[:] = jnp.zeros_like(o)
 
-        # Shared pair geometry (BT, BS), squared-distance form: the masks and
-        # the Gaussian consume squared distances, and rsqrt(d2) yields both
-        # the unit normal and (via d2*inv) the distance — no sqrt, no divide.
-        dxs = xs[:] - xt[:]   # source minus target (downwash convention)
-        dys = ys[:] - yt[:]
-        dzs = zs[:] - zt[:]
-        dxy2 = dxs * dxs + dys * dys
-        d2 = dxy2 + dzs * dzs
+        def wake_math():
+            # Pair geometry, squared-distance form: the lateral cutoff and
+            # the Gaussian consume dxy^2 — no sqrt per pair.
+            dxs = xs[:] - xt[:]   # source minus target (downwash convention)
+            dys = ys[:] - yt[:]
+            dzs = zs[:] - zt[:]
+            dxy2 = dxs * dxs + dys * dys
 
-        # Downwash: sources strictly above within 10 m lateral
-        safe_dz = jnp.where(dzs > 0, dzs, 1.0)
-        alpha = K / (safe_dz * safe_dz)
-        beta = c2 * safe_dz + c3
-        safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
-        mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
-        wake = jnp.where((dzs > 0) & (dxy2 < 100.0), mag, 0.0)
-        dw[:] -= jnp.sum(wake, axis=1, keepdims=True)
+            # Downwash: sources strictly above within 10 m lateral
+            safe_dz = jnp.where(dzs > 0, dzs, 1.0)
+            alpha = K / (safe_dz * safe_dz)
+            beta = c2 * safe_dz + c3
+            safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
+            mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+            wake = jnp.where((dzs > 0) & (dxy2 < 100.0), mag, 0.0)
+            dw[:] -= jnp.sum(wake, axis=1, keepdims=True)
 
-        # Contact: normal points from source toward target = -delta
-        contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
-        inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
-        dist = d2 * inv
-        overlap = jnp.where(contact, min_dist - dist, 0.0)
-        nx, ny, nz = -dxs * inv, -dys * inv, -dzs * inv
-        push = jnp.minimum(0.5 * overlap, max_push)
-        dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
-        dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
-        dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
+        def contact_math():
+            # Contact: normal points from source toward target = -delta;
+            # rsqrt(d2) yields the normal and (d2*inv) the distance.
+            dxs = xs[:] - xt[:]
+            dys = ys[:] - yt[:]
+            dzs = zs[:] - zt[:]
+            d2 = dxs * dxs + dys * dys + dzs * dzs
+            contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
+            inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
+            dist = d2 * inv
+            overlap = jnp.where(contact, min_dist - dist, 0.0)
+            nx, ny, nz = -dxs * inv, -dys * inv, -dzs * inv
+            push = jnp.minimum(0.5 * overlap, max_push)
+            dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
+            dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
+            dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
 
-        rvx = vxt[:] - vxs[:]
-        rvy = vyt[:] - vys[:]
-        rvz = vzt[:] - vzs[:]
-        vn = rvx * nx + rvy * ny + rvz * nz
-        appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
-        dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
-        dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
-        dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+            rvx = vxt[:] - vxs[:]
+            rvy = vyt[:] - vys[:]
+            rvz = vzt[:] - vzs[:]
+            vn = rvx * nx + rvy * ny + rvz * nz
+            appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
+            dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
+            dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
+            dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+
+        if use_sort:
+            i = pl.program_id(0)
+
+            @pl.when((j + 1) * bs - 1 > i * bt)  # dz > 0 possible
+            def _():
+                wake_math()
+
+            live = ((zs[0, bs - 1] >= zt[0, 0] - min_dist)
+                    & (zs[0, 0] <= zt[bt - 1, 0] + min_dist))
+
+            @pl.when(live)  # |dz| < min_dist possible
+            def _():
+                contact_math()
+        else:
+            wake_math()
+            contact_math()
 
     def interact_cols(x, y, z, vx, vy, vz):
         """Column-level entry: six (N,) arrays -> (dw_mag, (dpx,dpy,dpz),
         (dvx,dvy,dvz)) column tuples (SoA swarm path)."""
         N = x.shape[0]
         assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        if use_sort:
+            order = jnp.argsort(comps[2])
+            comps = [a[order] for a in comps]
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
@@ -111,14 +152,17 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         o_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
-            kernel,
+            make_kernel(use_sort),
             grid=(N // bt, N // bs),
             in_specs=[t_spec] * 6 + [s_spec] * 6,
             out_specs=[o_spec] * 7,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
             interpret=interpret,
         )(*cols_t, *cols_s)
-        cols = [o[:, 0].astype(in_dtype) for o in outs]
+        cols = [o[:, 0] for o in outs]
+        if use_sort:
+            cols = [jnp.zeros_like(o).at[order].set(o) for o in cols]
+        cols = [o.astype(in_dtype) for o in cols]
         return cols[0], tuple(cols[1:4]), tuple(cols[4:7])
 
     def interact(pos, vel):

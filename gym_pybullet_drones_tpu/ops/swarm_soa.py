@@ -66,19 +66,24 @@ def swarm_soa_to_kin(s: Dict[str, jax.Array], template):
 
 
 def make_swarm_step_soa(params: DroneParams, dt, n_substeps: int,
-                        collisions: bool = False, interpret: bool = False):
+                        collisions: bool = False, interpret: bool = False,
+                        z_sort=None):
     """Build `step(s, rpm_cols) -> s` over SoA columns: PYB_DW physics with
-    the Pallas wake (and optionally the fused wake+contact pass)."""
+    the Pallas wake (and optionally the fused wake+contact pass). ``z_sort``
+    (default auto by fleet size) runs pair passes in z-ascending order for
+    exact tile culling — see runtime/swarm.make_big_swarm_physics."""
     from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
     from gym_pybullet_drones_tpu.ops.interact_pallas import make_interact_pallas
     from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
 
     c = physics_consts(params)
     m_ = c["m_"]
-    dw_fn = make_downwash_pallas(params, interpret=interpret)
-    interact_fn = (make_interact_pallas(params, interpret=interpret)
+    dw_fn = make_downwash_pallas(params, interpret=interpret, z_sort=z_sort)
+    interact_fn = (make_interact_pallas(params, interpret=interpret,
+                                        z_sort=z_sort)
                    if collisions else None)
-    collide_fn = (make_collide_pallas(params, interpret=interpret)
+    collide_fn = (make_collide_pallas(params, interpret=interpret,
+                                      z_sort=z_sort)
                   if collisions else None)
 
     def step(s: Dict[str, jax.Array], rpm_cols):

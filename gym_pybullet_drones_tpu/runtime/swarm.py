@@ -84,7 +84,8 @@ def shard_swarm_kin(mesh: Mesh, kin: KinState, axis: str = "env") -> KinState:
 def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
                            physics: Physics = Physics.PYB_DW,
                            collisions: bool = False,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           z_sort=None):
     """Single-device large-swarm step using the tiled Pallas pair kernels.
 
     The dense all-pairs downwash in `substep_pyb` materializes (N, N)
@@ -96,7 +97,12 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     ``collisions`` the drone-drone contact resolve runs through the analogous
     tiled kernel (`ops/collide_pallas`) after each substep — same order as
     the dense pipeline. ``interpret`` runs the Pallas kernels in interpreter
-    mode (CPU tests).
+    mode (CPU tests). ``z_sort`` (default auto: on for fleets >=
+    ops.downwash_pallas.Z_SORT_MIN_N) runs every pair pass in z-ascending
+    order, which lets the kernels skip provably-masked tiles exactly
+    (downwash_pallas docstring); it only reorders the f32 pair sums, so
+    force it False when comparing against a fixed summation order on
+    ill-conditioned (near-coincident) geometry.
     """
     from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
     from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
@@ -104,8 +110,11 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
 
     flags = dict(_PYB_FLAGS[physics])
     use_dw = flags.pop("dw")
-    dw_fn = make_downwash_pallas(params, interpret=interpret) if use_dw else None
-    collide_fn = make_collide_pallas(params, interpret=interpret) if collisions else None
+    dw_fn = (make_downwash_pallas(params, interpret=interpret, z_sort=z_sort)
+             if use_dw else None)
+    collide_fn = (make_collide_pallas(params, interpret=interpret,
+                                      z_sort=z_sort)
+                  if collisions else None)
     # With BOTH interactions on, one fused pair pass computes substep k's
     # contact AND substep k+1's wake from the post-integration positions:
     # n+1 passes per control step instead of 2n. NOT exactly the dense
@@ -113,10 +122,11 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     # positions, so on contacting swarms the fused wake lags by up to one
     # max_push (1 cm) per substep — the stated deviation in
     # ops/interact_pallas.py's header.
-    interact_fn = (make_interact_pallas(params, interpret=interpret)
+    interact_fn = (make_interact_pallas(params, interpret=interpret,
+                                        z_sort=z_sort)
                    if (use_dw and collisions) else None)
     collide_last = (make_collide_pallas(params, interpret=interpret,
-                                        return_delta=True)
+                                        return_delta=True, z_sort=z_sort)
                     if interact_fn is not None else None)
 
     if interact_fn is not None:

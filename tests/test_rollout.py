@@ -225,11 +225,21 @@ def test_big_swarm_pallas_dw_matches_dense():
     params = envbase.build_params(cfg)
     N = 512
     rng = np.random.RandomState(4)
-    # Jittered 8x8x8 lattice with >= 0.2 m separation: near-coincident drones
-    # make the 1/dz^2 wake magnitude ill-conditioned (fp noise flips masks)
-    g = np.stack(np.meshgrid(*[np.arange(8) * 0.5] * 3), -1).reshape(-1, 3)
-    pos = jnp.asarray(g + rng.uniform(-0.1, 0.1, g.shape) + [0, 0, 1.0],
-                      jnp.float32)
+    # Unique-z stacks: 64 xy cells of 8 drones each with EXACT 0.3 m z gaps
+    # (wake alpha = K/dz^2 ~ 0.8 N — strong but gentle enough that 5
+    # substeps drift z by mm, far below the gap). Every pairwise |dz| stays
+    # a stable multiple of ~0.3, so the dz > 0 mask and the 1/dz^2 magnitude
+    # are well-conditioned. (A lattice with same-layer drones at ~equal z
+    # sits in the ill-conditioned regime — see the CLAUDE.md testing note —
+    # where only bit-identical per-pair arithmetic keeps two implementations
+    # in lockstep, which would forbid any algebraic kernel optimization.)
+    k = np.arange(N)
+    cell = k // 8
+    g = np.stack([(cell % 8) * 1.0, (cell // 8) * 1.0, (k % 8) * 0.3
+                  + cell * 0.3 / 64.0], -1)
+    jit = rng.uniform(-0.1, 0.1, (N, 3))
+    jit[:, 2] = 0.0  # keep the z gaps exact
+    pos = jnp.asarray(g + jit + [0, 0, 1.0], jnp.float32)
     quat = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0], jnp.float32), (N, 1))
     kin = init_kin_state(pos, quat)
     rpm = jnp.full((N, 4), float(params.hover_rpm), jnp.float32)
@@ -242,8 +252,9 @@ def test_big_swarm_pallas_dw_matches_dense():
     step = None
     orig = dwp.make_downwash_pallas
     try:
-        dwp.make_downwash_pallas = lambda p, **kw: orig(p, bt=256, bs=256,
-                                                        interpret=True)
+        dwp.make_downwash_pallas = lambda p, **kw: orig(
+            p, bt=256, bs=256, interpret=True,
+            z_sort=kw.get("z_sort", False))
         step = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW)
         big_kin, _ = step(kin, rpm, last)
     finally:

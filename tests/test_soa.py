@@ -194,3 +194,51 @@ def test_swarm_soa_matches_aos_big_swarm():
                                    np.asarray(aos_kin.ang_v), atol=1e-4)
         np.testing.assert_allclose(np.asarray(soa_kin.rpy_rates),
                                    np.asarray(aos_kin.rpy_rates), atol=1e-4)
+
+
+def test_pallas_pair_kernels_z_sorted_match_dense():
+    """z-sorted tile-culling variants (forced on, since auto only enables
+    them at N >= Z_SORT_MIN_N) == dense reference-semantics paths on a random
+    well-separated cloud: the triangle cull of the wake and the z-band cull
+    of contact must be exact, not approximate."""
+    from gym_pybullet_drones_tpu.core import aero
+    from gym_pybullet_drones_tpu.core.collisions import resolve_drone_collisions
+    from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
+    from gym_pybullet_drones_tpu.ops.interact_pallas import make_interact_pallas
+
+    cfg = AviaryConfig(task=TASK_VELOCITY)
+    params = envbase.build_params(cfg)
+    N = 1024
+    rng = np.random.RandomState(11)
+    pos = jnp.asarray(
+        rng.uniform(-1, 1, (N, 3)) * np.array([4, 4, 1.5]) + [0, 0, 2.0],
+        jnp.float32)
+    # sprinkle overlapping pairs so the contact band actually fires
+    pos = pos.at[1::64].set(pos[0::64] + jnp.asarray([0.08, 0.0, 0.05]))
+    vel = jnp.asarray(rng.uniform(-0.5, 0.5, (N, 3)), jnp.float32)
+
+    dense_w = np.asarray(aero.downwash_forces_body_z(pos, params))
+    p_ref, v_ref = resolve_drone_collisions(pos, vel, params.collision_r)
+    tol = 1e-4 * max(1.0, np.abs(dense_w).max())
+
+    dw = make_downwash_pallas(params, bt=256, bs=256, interpret=True,
+                              z_sort=True)
+    np.testing.assert_allclose(np.asarray(dw(pos)), dense_w, rtol=1e-4,
+                               atol=tol)
+
+    co = make_collide_pallas(params, bt=256, bs=256, interpret=True,
+                             z_sort=True)
+    p2, v2 = co(pos, vel)
+    assert np.abs(np.asarray(p2) - np.asarray(pos)).max() > 0  # contacts fired
+    np.testing.assert_allclose(np.asarray(p2), np.asarray(p_ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v_ref), atol=1e-6)
+
+    ia = make_interact_pallas(params, bt=256, bs=256, interpret=True,
+                              z_sort=True)
+    mag, dp, dv = ia(pos, vel)
+    np.testing.assert_allclose(np.asarray(mag), dense_w, rtol=1e-4, atol=tol)
+    np.testing.assert_allclose(np.asarray(pos + dp), np.asarray(p_ref),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vel + dv), np.asarray(v_ref),
+                               atol=1e-6)

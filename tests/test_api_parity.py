@@ -122,3 +122,50 @@ def test_reference_methods_present(cls_name):
     missing = sorted(m for m in ref.get(cls_name, ())
                      if m not in have and not m.startswith("__"))
     assert not missing, f"{cls_name} missing reference methods: {missing}"
+
+
+def test_gymnasium_env_checker_conformance():
+    """gymnasium's own `check_env` passes on the control-oriented shells.
+
+    The RL shells (Hover/MultiHover) fail exactly ONE probe — reset
+    determinism — because the reference's action buffer deque is filled at
+    construction and NEVER cleared on reset (BaseRLAviary.py:153-155), a
+    quirk this rebuild replicates on purpose: after reset(seed) -> step the
+    buffer still holds pre-reset actions, so the checker's second pass sees
+    different observations. The reference fails the same probe the same way.
+    """
+    import warnings
+
+    import pytest
+    from gymnasium.utils.env_checker import check_env
+
+    from gym_pybullet_drones_tpu.compat.gym import (
+        CtrlAviary,
+        HoverAviary,
+        VelocityAviary,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        check_env(CtrlAviary(), skip_render_check=True)
+        check_env(VelocityAviary(), skip_render_check=True)
+        with pytest.raises(AssertionError,
+                           match="Deterministic step observations"):
+            check_env(HoverAviary(), skip_render_check=True)
+
+    # True determinism DOES hold across fresh instances (same seed, same
+    # actions -> identical trajectories); only within-instance reset carries
+    # the buffer.
+    import numpy as np
+
+    def run():
+        env = HoverAviary()
+        obs, _ = env.reset(seed=7)
+        traj = [obs]
+        for t in range(5):
+            obs, *_ = env.step(np.full((1, 4), 0.3, np.float32))
+            traj.append(obs)
+        env.close()
+        return np.concatenate([o.ravel() for o in traj])
+
+    np.testing.assert_array_equal(run(), run())

@@ -106,19 +106,31 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         else:
             contact_math()
 
-    def resolve_cols(x, y, z, vx, vy, vz):
-        """Column-level entry: six (N,) arrays -> ((dpx,dpy,dpz),
-        (dvx,dvy,dvz)) correction columns (always delta form)."""
-        N = x.shape[0]
-        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
+    def resolve_cols(x, y, z, vx, vy, vz, src=None):
+        """Column-level entry: six (Nt,) arrays -> ((dpx,dpy,dpz),
+        (dvx,dvy,dvz)) correction columns (always delta form).
+
+        ``src``: optional 6-tuple of source columns (Ns,) for the
+        rectangular form (sharded swarm: local targets vs the all-gathered
+        fleet). Default: sources = targets."""
+        Nt = x.shape[0]
+        src_comps = (x, y, z, vx, vy, vz) if src is None else src
+        Ns = src_comps[0].shape[0]
+        assert Nt % bt == 0 and Ns % bs == 0, (Nt, Ns, bt, bs)
+        use_sort = (max(Nt, Ns) >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        src_comps = [a.astype(jnp.float32) for a in src_comps]
         if use_sort:
             order = jnp.argsort(comps[2])
             comps = [a[order] for a in comps]
-        cols_t = [a.reshape(N, 1) for a in comps]
-        cols_s = [a.reshape(1, N) for a in comps]
+            if src is None:
+                src_comps = comps
+            else:
+                s_order = jnp.argsort(src_comps[2])
+                src_comps = [a[s_order] for a in src_comps]
+        cols_t = [a.reshape(Nt, 1) for a in comps]
+        cols_s = [a.reshape(1, Ns) for a in src_comps]
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
@@ -127,10 +139,10 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
                               memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
             make_kernel(use_sort),
-            grid=(N // bt, N // bs),
+            grid=(Nt // bt, Ns // bs),
             in_specs=[t_spec] * 6 + [s_spec] * 6,
             out_specs=[o_spec] * 6,
-            out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 6,
+            out_shape=[jax.ShapeDtypeStruct((Nt, 1), jnp.float32)] * 6,
             interpret=interpret,
         )(*cols_t, *cols_s)
         cols = [o[:, 0] for o in outs]
@@ -139,9 +151,12 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         cols = [o.astype(in_dtype) for o in cols]
         return tuple(cols[0:3]), tuple(cols[3:6])
 
-    def resolve(pos, vel):
+    def resolve(pos, vel, src_pos=None, src_vel=None):
+        src = (None if src_pos is None else
+               tuple(src_pos[:, i] for i in range(3))
+               + tuple(src_vel[:, i] for i in range(3)))
         dp, dv = resolve_cols(pos[:, 0], pos[:, 1], pos[:, 2],
-                              vel[:, 0], vel[:, 1], vel[:, 2])
+                              vel[:, 0], vel[:, 1], vel[:, 2], src=src)
         dpos, dvel = jnp.stack(dp, -1), jnp.stack(dv, -1)
         if return_delta:
             return dpos, dvel

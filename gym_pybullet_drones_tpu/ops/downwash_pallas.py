@@ -51,7 +51,7 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     # alpha = c1 * (pr / (4 dz))^2 = K / dz^2 with the constant prefolded
     K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
 
-    def make_kernel(use_sort):
+    def make_kernel(use_sort, square):
         def kernel(xt, yt, zt, xs, ys, zs, out):
             j = pl.program_id(1)
 
@@ -76,12 +76,21 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
                 contrib = jnp.where(mask, mag, 0.0)
                 out[:] -= jnp.sum(contrib, axis=1, keepdims=True)
 
-            if use_sort:
-                # z-ascending order: a tile whose every source index <= every
-                # target index holds only dz <= 0 pairs — all masked, skip.
+            if use_sort and square:
+                # Same z-sorted set on both axes: a tile whose every source
+                # INDEX <= every target index holds only dz <= 0 pairs.
+                # Pure grid-index arithmetic — measurably cheaper (~7%) than
+                # reading the z bounds out of VMEM per tile.
                 i = pl.program_id(0)
 
                 @pl.when((j + 1) * bs - 1 > i * bt)
+                def _():
+                    pair_math()
+            elif use_sort:
+                # Rectangular (targets != sources), both sets z-ascending: a
+                # tile contributes only if its max source z (last element)
+                # exceeds its min target z (first element).
+                @pl.when(zs[0, bs - 1] > zt[0, 0])
                 def _():
                     pair_math()
             else:
@@ -89,34 +98,48 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
 
         return kernel
 
-    def dw_cols(x, y, z):
-        """Column-level entry: (N,) f32 coordinate arrays -> (N,) wake
-        magnitudes (no (N,3) packing — the SoA swarm path feeds columns)."""
-        N = x.shape[0]
-        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
-        use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
+    def dw_cols(x, y, z, src=None):
+        """Column-level entry: (Nt,) f32 coordinate arrays -> (Nt,) wake
+        magnitudes (no (N,3) packing — the SoA swarm path feeds columns).
+
+        ``src``: optional (xs, ys, zs) column tuple of a DIFFERENT source
+        set (Ns,) — the rectangular form used by the sharded swarm, where
+        each shard's local targets read wakes from the all-gathered global
+        fleet. Default: sources = targets (square all-pairs)."""
+        Nt = x.shape[0]
+        xs_c, ys_c, zs_c = (x, y, z) if src is None else src
+        Ns = xs_c.shape[0]
+        assert Nt % bt == 0 and Ns % bs == 0, (Nt, Ns, bt, bs)
+        use_sort = (max(Nt, Ns) >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
+        xs_c, ys_c, zs_c = (a.astype(jnp.float32) for a in (xs_c, ys_c, zs_c))
         if use_sort:
             order = jnp.argsort(z)
             x, y, z = x[order], y[order], z[order]
-        xt = x.reshape(N, 1)
-        yt = y.reshape(N, 1)
-        zt = z.reshape(N, 1)
-        xs = x.reshape(1, N)
-        ys = y.reshape(1, N)
-        zs = z.reshape(1, N)
+            if src is None:
+                xs_c, ys_c, zs_c = x, y, z
+            else:
+                s_order = jnp.argsort(zs_c)
+                xs_c, ys_c, zs_c = (xs_c[s_order], ys_c[s_order],
+                                    zs_c[s_order])
+        xt = x.reshape(Nt, 1)
+        yt = y.reshape(Nt, 1)
+        zt = z.reshape(Nt, 1)
+        xs = xs_c.reshape(1, Ns)
+        ys = ys_c.reshape(1, Ns)
+        zs = zs_c.reshape(1, Ns)
         t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            make_kernel(use_sort),
-            grid=(N // bt, N // bs),
+            make_kernel(use_sort, src is None),
+            grid=(Nt // bt, Ns // bs),
             in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
             out_specs=pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Nt, 1), jnp.float32),
             interpret=interpret,
         )(xt, yt, zt, xs, ys, zs)
         res = out[:, 0]
@@ -124,8 +147,10 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             res = jnp.zeros_like(res).at[order].set(res)
         return res.astype(in_dtype)
 
-    def dw(pos):
-        return dw_cols(pos[:, 0], pos[:, 1], pos[:, 2])
+    def dw(pos, src_pos=None):
+        src = (None if src_pos is None
+               else (src_pos[:, 0], src_pos[:, 1], src_pos[:, 2]))
+        return dw_cols(pos[:, 0], pos[:, 1], pos[:, 2], src=src)
 
     dw.cols = dw_cols
     return dw

@@ -116,6 +116,8 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
 
         if use_sort:
+            # square grid: index-arithmetic triangle cull (see
+            # downwash_pallas — cheaper than reading z bounds per tile)
             i = pl.program_id(0)
 
             @pl.when((j + 1) * bs - 1 > i * bt)  # dz > 0 possible

@@ -32,7 +32,11 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
                                n_substeps: int,
                                physics: Physics = Physics.PYB_DW,
                                axis: str = "env",
-                               collisions: bool = False):
+                               collisions: bool = False,
+                               pallas: bool = False,
+                               interpret: bool = False,
+                               z_sort=None,
+                               pallas_opts: dict = None):
     """Build `step(kin, rpm, last_rpm) -> (kin, last_rpm)` where every leaf's
     leading drone axis is sharded over `mesh` and downwash couples shards.
 
@@ -42,28 +46,71 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
     sphere contact (core/collisions.py) also couples shards: each shard
     resolves its slab against the all-gathered global fleet (positions +
     velocities ride the same ICI collective as the wake sources).
+
+    ``pallas``: compute the cross-shard pair interactions with the
+    RECTANGULAR tiled kernels (local targets x gathered global sources,
+    `ops/downwash_pallas` / `ops/collide_pallas`) instead of dense
+    (N_local, N_global) tensors. The dense form needs ~6 GB of pair
+    intermediates per chip at 65k drones / 8 chips; the tiled form is
+    O(N_global + tile), so coupled 100k+ fleets shard over a mesh. Wake is
+    injected as a pre-substep velocity increment (Euler increments of COM
+    forces commute — same construction as `make_big_swarm_physics`);
+    ``z_sort`` bound-culling applies per shard (see the kernel docstrings).
     """
     flags = dict(_PYB_FLAGS[physics])
     use_dw = flags.pop("dw")
 
-    def local_step(kin: KinState, rpm, last_rpm):
-        for _ in range(n_substeps):
-            dw_src = (jax.lax.all_gather(kin.pos, axis, axis=0, tiled=True)
-                      if use_dw else None)
-            kin = substep_pyb(kin, rpm, last_rpm, params, dt,
-                              dw=use_dw, dw_src_pos=dw_src, **flags)
-            if collisions:
-                # Contact resolves on *post-integration* kinematics (same
-                # order as the dense substep_pyb): gather the stepped fleet,
-                # then project the local slab against it.
-                gpos = jax.lax.all_gather(kin.pos, axis, axis=0, tiled=True)
-                gvel = jax.lax.all_gather(kin.vel, axis, axis=0, tiled=True)
-                new_pos, new_vel = resolve_drone_collisions(
-                    kin.pos, kin.vel, params.collision_r,
-                    other_pos=gpos, other_vel=gvel)
-                kin = kin.replace(pos=new_pos, vel=new_vel)
-            last_rpm = rpm
-        return kin, last_rpm
+    if pallas:
+        from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
+        from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_pallas
+
+        opts = dict(interpret=interpret, z_sort=z_sort, **(pallas_opts or {}))
+        dw_fn = make_downwash_pallas(params, **opts) if use_dw else None
+        collide_fn = (make_collide_pallas(params, return_delta=True, **opts)
+                      if collisions else None)
+
+        def local_step(kin: KinState, rpm, last_rpm):
+            for _ in range(n_substeps):
+                if use_dw:
+                    gpos = jax.lax.all_gather(kin.pos, axis, axis=0,
+                                              tiled=True)
+                    mag = dw_fn(kin.pos, src_pos=gpos)
+                    R = quat_to_matrix(kin.quat)
+                    dv = R[..., :, 2] * (mag / params.m * dt)[..., None]
+                    kin = kin.replace(vel=kin.vel + dv)
+                kin = substep_pyb(kin, rpm, last_rpm, params, dt,
+                                  dw=False, **flags)
+                if collisions:
+                    gpos = jax.lax.all_gather(kin.pos, axis, axis=0,
+                                              tiled=True)
+                    gvel = jax.lax.all_gather(kin.vel, axis, axis=0,
+                                              tiled=True)
+                    dpos, dvel = collide_fn(kin.pos, kin.vel,
+                                            src_pos=gpos, src_vel=gvel)
+                    kin = kin.replace(pos=kin.pos + dpos, vel=kin.vel + dvel)
+                last_rpm = rpm
+            return kin, last_rpm
+
+    else:
+
+        def local_step(kin: KinState, rpm, last_rpm):
+            for _ in range(n_substeps):
+                dw_src = (jax.lax.all_gather(kin.pos, axis, axis=0, tiled=True)
+                          if use_dw else None)
+                kin = substep_pyb(kin, rpm, last_rpm, params, dt,
+                                  dw=use_dw, dw_src_pos=dw_src, **flags)
+                if collisions:
+                    # Contact resolves on *post-integration* kinematics (same
+                    # order as the dense substep_pyb): gather the stepped
+                    # fleet, then project the local slab against it.
+                    gpos = jax.lax.all_gather(kin.pos, axis, axis=0, tiled=True)
+                    gvel = jax.lax.all_gather(kin.vel, axis, axis=0, tiled=True)
+                    new_pos, new_vel = resolve_drone_collisions(
+                        kin.pos, kin.vel, params.collision_r,
+                        other_pos=gpos, other_vel=gvel)
+                    kin = kin.replace(pos=new_pos, vel=new_vel)
+                last_rpm = rpm
+            return kin, last_rpm
 
     spec_kin = KinState(pos=P(axis), quat=P(axis), vel=P(axis),
                         ang_v=P(axis), rpy_rates=P(axis))
@@ -71,6 +118,10 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
         local_step, mesh=mesh,
         in_specs=(spec_kin, P(axis), P(axis)),
         out_specs=(spec_kin, P(axis)),
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # shard_map's vma check cannot type it; the kernels are per-shard
+        # local by construction (targets sharded, sources pre-gathered).
+        check_vma=not pallas,
     )
     return jax.jit(stepped)
 

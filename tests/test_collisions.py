@@ -321,3 +321,61 @@ def test_fused_interact_kernel_contact_active():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(fused.vel), np.asarray(dense.vel),
                                atol=1e-4)
+
+
+def test_sharded_pallas_swarm_matches_dense():
+    """shard_map + RECTANGULAR tiled pair kernels (local targets x gathered
+    global sources) == the dense single-device pipeline. This is the
+    O(N_global)-memory path that lets coupled 100k+ fleets shard over a mesh
+    (the dense sharded form needs (N_local, N_global) pair tensors).
+
+    Composite well-conditioned geometry: wake-active unique-z towers (128
+    cells x 8 drones, 0.3 m z gaps, 1.0 m cells — contact-free) plus, 100 m
+    away (beyond the 10 m wake cutoff), 512 co-planar overlapping pairs
+    (contact-active, wake-inert since dz = 0 exactly)."""
+    from gym_pybullet_drones_tpu.runtime.swarm import (
+        make_sharded_swarm_physics,
+        shard_swarm_kin,
+    )
+
+    params = drone_params(DroneModel.CF2X)
+    rng = np.random.default_rng(9)
+    # towers: 1024 drones
+    k = np.arange(1024)
+    cell = k // 8
+    towers = np.stack([(cell % 16) * 1.0, (cell // 16) * 1.0,
+                       1.0 + (k % 8) * 0.3], -1)
+    # contact pairs: 512 bases + 512 partners offset 0.1 < 0.12 diameter
+    base = np.stack(np.meshgrid(np.arange(32) * 0.5, np.arange(16) * 0.5),
+                    -1).reshape(-1, 2) + [100.0, 0.0]
+    xy = np.concatenate([base, base + [0.1, 0.0]], axis=0)
+    pairs = np.concatenate([xy, np.full((1024, 1), 1.0)], axis=1)
+    pos = np.concatenate([towers, pairs], axis=0).astype(np.float32)  # 2048
+    n = pos.shape[0]
+    vel = np.zeros((n, 3), np.float32)
+    vel[1024:] = rng.uniform(-0.2, 0.2, (1024, 3)).astype(np.float32)
+    vel[1024:, 2] = 0.0  # pairs stay exactly co-planar
+    kin = init_kin_state(jnp.asarray(pos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    kin = kin.replace(vel=jnp.asarray(vel))
+    rpm = _hover_rpm(params, n)
+
+    dense_kin, _ = step_physics(kin, rpm, rpm, params, 1 / 240, 5,
+                                Physics.PYB_DW, collisions=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    sharded = make_sharded_swarm_physics(mesh, params, 1 / 240, 5,
+                                         Physics.PYB_DW, collisions=True,
+                                         pallas=True, interpret=True)
+    out_sh, _ = sharded(shard_swarm_kin(mesh, kin), rpm, rpm)
+
+    # contacts actually fired in the pair group
+    moved = np.abs(np.asarray(out_sh.pos[1024:, :2]) - pos[1024:, :2]).max()
+    assert moved > 1e-4, moved
+    # and wakes actually acted in the towers (bottom drones pushed down)
+    sink = pos[:1024, 2] - np.asarray(out_sh.pos[:1024, 2])
+    assert sink[k % 8 == 0].mean() > 2 * abs(sink[k % 8 == 7].mean())
+    np.testing.assert_allclose(np.asarray(out_sh.pos),
+                               np.asarray(dense_kin.pos), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(out_sh.vel),
+                               np.asarray(dense_kin.vel), atol=1e-3)

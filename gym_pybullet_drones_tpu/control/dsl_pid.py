@@ -79,8 +79,10 @@ def dsl_pid_params(model: DroneModel = DroneModel.CF2X, g: float = G, dtype=jnp.
 
 
 def dsl_pid_reset(batch_shape=(), dtype=jnp.float32) -> DSLPIDState:
-    zeros = jnp.zeros(batch_shape + (3,), dtype=dtype)
-    return DSLPIDState(last_rpy=zeros, integral_pos_e=zeros, integral_rpy_e=zeros)
+    # distinct zeros per leaf: shared buffers break donate_argnums (see
+    # core.dynamics.init_kin_state)
+    z = lambda: jnp.zeros(batch_shape + (3,), dtype=dtype)
+    return DSLPIDState(last_rpy=z(), integral_pos_e=z(), integral_rpy_e=z())
 
 
 def _position_control(

@@ -54,9 +54,12 @@ class KinState:
 def init_kin_state(init_xyzs, init_quats, dtype=None) -> KinState:
     init_xyzs = jnp.asarray(init_xyzs, dtype=dtype)
     init_quats = jnp.asarray(init_quats, dtype=init_xyzs.dtype)
-    zeros = jnp.zeros_like(init_xyzs)
+    # Distinct zeros per leaf: sharing one array would alias three pytree
+    # leaves to one device buffer, which trips "donate the same buffer
+    # twice" under donate_argnums (the CLAUDE.md zero-leaf aliasing class).
+    z = lambda: jnp.zeros_like(init_xyzs)
     return KinState(
-        pos=init_xyzs, quat=init_quats, vel=zeros, ang_v=zeros, rpy_rates=zeros
+        pos=init_xyzs, quat=init_quats, vel=z(), ang_v=z(), rpy_rates=z()
     )
 
 

@@ -390,7 +390,14 @@ def compute_truncated(cfg: AviaryConfig, state: AviaryState):
         | (jnp.abs(rpy[..., 0]) > 0.4)
         | (jnp.abs(rpy[..., 1]) > 0.4)
     )
-    timeout = state.step_count / cfg.pyb_freq > cfg.episode_len_sec
+    # Reference ordering: _computeTruncated reads step_counter BEFORE the
+    # step advances it (BaseAviary.step computes the signals at :376-380 and
+    # increments at :382), so the timeout uses the PRE-increment count — the
+    # same gate convention as the RGB capture (step() below). An 8 s episode
+    # at 240/30 therefore spans 242 reward-bearing control steps, not 241:
+    # the first call with 8*(k-1)/240 > 8 is k = 242 (HoverAviary.py:115).
+    pre_count = state.step_count - cfg.steps_per_ctrl
+    timeout = pre_count / cfg.pyb_freq > cfg.episode_len_sec
     return jnp.any(out, axis=-1) | timeout
 
 

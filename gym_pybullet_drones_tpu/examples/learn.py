@@ -72,16 +72,16 @@ def run(
     else:
         target_reward = 920.0 if multiagent else 467.0
 
-    # Settings that reach eval return ~472 on HoverAviary/ONE_D_RPM within
-    # ~1M env steps (<1 min on one TPU chip). 472 IS optimal for this action
-    # type under this physics: ONE_D_RPM commands equal RPMs (zero torque,
-    # BaseRLAviary.py:224-225), reducing the dynamics to a 2-state vertical
-    # system whose backward-induction optimum is CERTIFIED at 472.28 single /
-    # 465.33 + 481.28 = 946.61 multiagent (scripts/one_d_rpm_dp.py) — both
-    # reference thresholds (474 / 949.5) sit strictly ABOVE the certified
-    # optima; they were calibrated on SB3 + PyBullet and are never verified
-    # by the reference's own CI (test budget = 100 steps). The trained
-    # policies land within ~0.1 of the optima (472.16 / 946.6).
+    # Settings that reach the reference's ONE_D_RPM thresholds — 474 single /
+    # 949.5 multiagent — within ~2M env steps (<1 min on one TPU chip).
+    # Those bars are razor-thin by construction: ONE_D_RPM commands equal
+    # RPMs (zero torque, BaseRLAviary.py:224-225), reducing the dynamics to
+    # a 2-state vertical system whose backward-induction optimum is
+    # CERTIFIED at 474.28 single / 467.34 + 483.27 = 950.61 multiagent
+    # (scripts/one_d_rpm_dp.py) — 0.28 / 1.1 of headroom over ALL policies.
+    # The committed checkpoints reach 474.04 / 950.17
+    # (tests/test_checkpoints.py). Exploration-noise annealing closes the
+    # last ~1 reward of the gap, so ONE_D_RPM anneals like the RPM cases.
     # Training budget: ~5M env-steps locally, 100 steps in CI (learn.py:93)
     total_steps = int(5e6) if local else int(1e2)
     # 4-dim RPM is a knife-edge stabilization task: warm-start from the
@@ -90,14 +90,15 @@ def run(
     # obs/action dims — SB3's 64-wide MLP underfits there, so it gets a
     # 256-wide net plus DAgger rounds (docs/ROUND2.md item 4 + stretch).
     hard_rpm = act == ActionType.RPM
+    anneal_to = ((-2.0 if multiagent else -3.0) if hard_rpm
+                 else -2.5 if act == ActionType.ONE_D_RPM else None)
     ppo_cfg = PPOConfig(
         num_envs=num_envs, n_steps=128, minibatch_size=1024,
         learning_rate=1e-4 if hard_rpm else 3e-4,
         hidden=(256, 256) if (hard_rpm and multiagent) else (64, 64),
-        log_std_anneal_to=(
-            (-2.0 if multiagent else -3.0) if hard_rpm else None),
+        log_std_anneal_to=anneal_to,
         log_std_anneal_updates=max(
-            1, int((0.9 if multiagent else 0.4)
+            1, int((0.9 if multiagent else 0.4 if hard_rpm else 0.6)
                    * (total_steps // (num_envs * 128)))),
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))

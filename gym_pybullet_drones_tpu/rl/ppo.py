@@ -285,20 +285,27 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
             )
             env_state, out = step_env(env_state, env_action)
             done = out.terminated | out.truncated
-            # SB3 TimeLimit semantics: on truncation (not termination),
-            # bootstrap the cut-off return with V of the TRUE next obs
-            # (out.final_obs — the pre-auto-reset observation).
-            _, _, final_value = network.apply(runner.params, out.final_obs)
             trunc_only = out.truncated & ~out.terminated
-            reward = out.reward + ppo_cfg.gamma * final_value * trunc_only.astype(
-                final_value.dtype)
             tr = Transition(obs=obs, action=action, log_prob=logp, value=value,
-                            reward=reward, done=done)
-            return (env_state, out.obs), (tr, out.reward)
+                            reward=out.reward, done=done)
+            return (env_state, out.obs), (tr, out.final_obs, trunc_only)
 
-        (env_state, obs), (traj, raw_rewards) = jax.lax.scan(
+        (env_state, obs), (traj, final_obs, trunc_only) = jax.lax.scan(
             rollout_body, (runner.env_state, runner.obs), keys
         )
+        raw_rewards = traj.reward
+        # SB3 TimeLimit semantics: on truncation (not termination), bootstrap
+        # the cut-off return with V of the TRUE next obs (final_obs — the
+        # pre-auto-reset observation). One batched (T*E) forward here instead
+        # of a second network.apply on every scan step: identical values,
+        # but the T per-step forwards (a full NatureCNN each for RGB obs)
+        # become one MXU-friendly batch.
+        fo = final_obs.reshape((-1,) + final_obs.shape[2:])
+        _, _, fv = network.apply(runner.params, fo)
+        final_value = fv.reshape(final_obs.shape[:2])
+        traj = traj._replace(
+            reward=traj.reward
+            + ppo_cfg.gamma * final_value * trunc_only.astype(final_value.dtype))
         _, _, last_value = policy_sample(runner.params, obs, rng)
         advantages, returns = compute_gae(traj, last_value)
 

@@ -67,10 +67,26 @@ def env_sharding(mesh: Mesh, axis: str = "env") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
+def _put(x, sharding):
+    """Place one array onto a sharding, multi-process-safe.
+
+    `jax.device_put` refuses host arrays on NON-ADDRESSABLE shardings (a
+    multi-host mesh where this process owns only some devices); a jitted
+    identity with `out_shardings` performs the same placement through the
+    runtime's global-array machinery (the CLAUDE.md-documented workaround,
+    exercised by tests/distributed_worker.py). Zero-sized arrays (e.g. an
+    empty action buffer) fall back to device_put — XLA force-replicates
+    empty outputs, so the jitted identity cannot honor the sharding (and
+    there is no data to distribute anyway)."""
+    if x.size == 0:
+        return jax.device_put(x, sharding)
+    return jax.jit(lambda a: a, out_shardings=sharding)(x)
+
+
 def shard_env_batch(mesh: Mesh, tree, axis: str = "env"):
     """Place a batched pytree (leading env axis) onto the mesh, sharded."""
     sh = env_sharding(mesh, axis)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _put(x, sh), tree)
 
 
 def make_sharded_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
@@ -144,19 +160,23 @@ def shard_swarm_state(mesh: Mesh, state, axis: str = "env"):
 
     buf = state.action_buffer
     if buf.ndim >= 2 and buf.shape[0] > 0:
-        buf = jax.device_put(buf, sh_second)
+        buf = _put(buf, sh_second)
     else:
-        buf = jax.device_put(buf, rep)
+        buf = _put(buf, rep)
 
     def place(x):
         if x.ndim == 0:
-            return jax.device_put(x, rep)
-        return jax.device_put(x, sh)
+            return _put(x, rep)
+        return _put(x, sh)
 
     return state.replace(
         kin=jax.tree.map(place, state.kin),
         last_rpm=place(state.last_rpm),
         ctrl=jax.tree.map(place, state.ctrl),
         action_buffer=buf,
-        step_count=jax.device_put(state.step_count, rep),
+        step_count=_put(state.step_count, rep),
+        # held camera frames carry the drone axis first like kin; a None
+        # leaf (KIN envs) passes through untouched
+        rgb_frames=(None if state.rgb_frames is None
+                    else place(state.rgb_frames)),
     )

@@ -46,6 +46,12 @@ class Logger:
         self.NUM_DRONES = num_drones
         self.PREALLOCATED_ARRAYS = duration_sec != 0
         cap = duration_sec * logging_freq_hz
+        # The reference preallocates duration*freq columns and exports them
+        # all, zeros included (Logger.py:49-79); past that it grows one
+        # column per log. So the exported length is max(logged, INITIAL
+        # preallocation) — never the geometrically-grown capacity, which
+        # would pad the CSVs/plots with zero samples.
+        self._prealloc_cap = cap
         self.counters = np.zeros(num_drones, dtype=int)
         self._timestamps = np.zeros((num_drones, cap))
         self._states = np.zeros((num_drones, 16, cap))
@@ -70,7 +76,7 @@ class Logger:
 
     def _len(self) -> int:
         n = int(self.counters.max()) if self.counters.size else 0
-        return max(n, self._timestamps.shape[1] if self.PREALLOCATED_ARRAYS else 0)
+        return max(n, self._prealloc_cap if self.PREALLOCATED_ARRAYS else 0)
 
     def _ensure_capacity(self, need: int):
         cap = self._timestamps.shape[1]

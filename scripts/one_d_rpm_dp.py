@@ -9,9 +9,11 @@ vertical system
     rpm = HOVER_RPM * (1 + 0.05 a),  a in [-1, 1],  8 substeps per control
 
 with reward max(0, 2 - |z_t - z|^4) per control step (HoverAviary.py:77-79),
-episode horizon 241 control steps (timeout truncation, HoverAviary.py:115),
-early termination (reward flow stops) when |z_t - z| < 1e-4, truncation when
-z > 2. Deterministic start at z = 0.1125, vz = 0.
+episode horizon 242 control steps (timeout truncation on the 242nd call —
+the reference checks step_counter BEFORE advancing it, BaseAviary.py:376-382,
+HoverAviary.py:115), early termination (reward flow stops) when
+|z_t - z| < 1e-4, truncation when z > 2. Deterministic start at z = 0.1125,
+vz = 0.
 
 Backward induction over a fine (z, vz) grid with bilinear value interpolation
 and a dense action grid computes the TRUE optimal return up to discretization
@@ -27,14 +29,19 @@ joint episode terminates only when the SUM of distances < 1e-4 — a set the
 optimal policy avoids (termination stops the ~2/step reward flow), exactly
 as each per-drone DP avoids its own 1e-4 ball — so the sum of the per-drone
 DP optima is the joint optimum up to the (1e-4)^4 ~ 1e-16 reward forfeited
-by skirting the ball. Per-episode supremum: 2.0 x 241 reward-bearing steps
-= 482 per drone (truncation fires on step 241 WITH its reward).
+by skirting the ball. Per-episode supremum: 2.0 x 242 reward-bearing steps
+= 484 per drone (truncation fires on step 242 WITH its reward).
 
-Certified results (float64; f32 at three resolutions incl. 2401x1201x201
-agrees to 0.01): Hover single 472.28; MultiHover 465.33 (climb 1.0 m) +
-481.28 (climb 0.5 m) = 946.61 joint. Both reference ONE_D_RPM thresholds
-(474 / 949.5, learn.py:79-82) sit strictly ABOVE the certified optima; the
-trained policies land within ~0.1 of them (472.16 single / 946.6 multi).
+Certified results (float64, two grid resolutions agree to 0.01; greedy
+rollouts from the exact continuous start match): Hover single 474.28;
+MultiHover 467.34 (climb 1.0 m) + 483.27 (climb 0.5 m) = 950.61 joint. Both
+reference ONE_D_RPM thresholds (474 / 949.5, learn.py:79-82) are therefore
+REACHABLE, and the trained policies reach them: 474.04 single / 950.17
+multi over 10 consecutive deterministic episodes (checkpoints/
+one_d_rpm_*.msgpack, gated in tests/test_checkpoints.py). Historical note:
+under the earlier (incorrect) 241-step horizon the optima were 472.28 /
+946.61 — BELOW the thresholds; the one-step truncation parity fix is what
+made the reference's own bars attainable.
 
 The whole backward pass is ONE jitted lax.scan (dynamics recomputed in the
 scan body — precomputing the (nz, nv, na) next-state tables costs ~18 GB at
@@ -66,7 +73,7 @@ DT = 1.0 / 240.0
 SUB = 8
 Z_CONTACT = 0.0125  # resting height of the ground clamp (core/dynamics.py)
 Z0 = 0.025 / 2 + 0.1  # deterministic spawn height
-HORIZON = 241
+HORIZON = 242  # 8 s at 30 Hz, timeout on the 242nd call (pre-increment counter, BaseAviary.py:376-382)
 Z_LO, Z_HI = 0.0, 2.05
 V_LO, V_HI = -3.0, 3.0
 

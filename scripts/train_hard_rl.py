@@ -44,7 +44,8 @@ from gym_pybullet_drones_tpu.rl.warmstart import bc_pretrain
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("case", choices=["rpm4", "rgb", "pid", "vel", "one_d_pid"])
+    ap.add_argument("case", choices=["rpm4", "rgb", "pid", "vel", "one_d_pid",
+                                     "one_d_rpm"])
     ap.add_argument("--multiagent", action="store_true",
                     help="MultiHoverAviary (2 drones); threshold 920")
     ap.add_argument("--steps", type=float, default=None)
@@ -80,7 +81,8 @@ def main():
 
         act = {"rpm4": ActionType.RPM, "pid": ActionType.PID,
                "vel": ActionType.VEL,
-               "one_d_pid": ActionType.ONE_D_PID}[args.case]
+               "one_d_pid": ActionType.ONE_D_PID,
+               "one_d_rpm": ActionType.ONE_D_RPM}[args.case]
         n_drones = 2 if args.multiagent else 1
         env_cfg = AviaryConfig(
             num_drones=n_drones,

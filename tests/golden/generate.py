@@ -113,7 +113,6 @@ def _fly_rl_env(init_xyzs, target_pos, action_fn, duration_s, bound,
         pos, quat, vel, ang_v, last_rpm = pyb_step_fleet(
             pos, quat, vel, ang_v, rpm, last_rpm, c, 1.0 / pyb_hz, sub,
             mode=mode)
-        step_count += sub
         err = np.linalg.norm(tgt - pos, axis=1)
         reward = np.sum(np.maximum(0.0, 2.0 - err**4))
         if n == 1:
@@ -126,7 +125,11 @@ def _fly_rl_env(init_xyzs, target_pos, action_fn, duration_s, bound,
             | (pos[:, 2] > 2.0) | (np.abs(rpy[:, 0]) > 0.4)
             | (np.abs(rpy[:, 1]) > 0.4)
         )
+        # Reference ordering: _computeTruncated reads step_counter BEFORE the
+        # step advances it (BaseAviary.py:376-382) — an 8 s episode spans 242
+        # control steps at 240/30, not 241.
         truncated = bool(oob or (step_count / pyb_hz > episode_len_sec))
+        step_count += sub
         out["pos"][t], out["quat"][t] = pos, quat
         out["vel"][t], out["ang_v"][t] = vel, ang_v
         out["reward"][t], out["terminated"][t] = reward, terminated

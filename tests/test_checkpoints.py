@@ -47,9 +47,10 @@ def test_rpm4_checkpoint_solves_threshold():
 
 def test_rgb_checkpoint_solves_optimum():
     """RGB pixel Hover (frame_stack=4): one full deterministic episode must
-    reach the documented ONE_D_RPM optimum region (472.16 recorded; 470.2 =
-    hand bang-bang baseline). Single episode keeps the CNN-on-CPU cost
-    test-suite-friendly; the 10-episode number is recorded in ROUND2.md."""
+    reach the reference's 474-threshold region (474.16 recorded over 10
+    consecutive episodes under the 242-step episode). Single episode keeps
+    the CNN-on-CPU cost test-suite-friendly; the 10-episode number is
+    recorded in ROUND2.md."""
     env_cfg = AviaryConfig(
         num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
         obs_type=ObservationType.RGB, pyb_freq=240, ctrl_freq=30,
@@ -58,14 +59,46 @@ def test_rgb_checkpoint_solves_optimum():
     params, aux = _load(env_cfg, "rgb_hover_fs4.msgpack")
     ret, n = evaluate_policy(env_cfg, aux, params, num_steps=260, num_envs=1)
     assert n >= 1
-    assert ret >= 470.0, ret
+    assert ret >= 472.0, ret
+
+
+def test_one_d_rpm_checkpoint_solves_reference_threshold():
+    """ONE_D_RPM Hover: >= 474 — the reference's OWN learn.py:79 threshold,
+    reachable only with the correct 242-step episode (pre-increment timeout,
+    BaseAviary.py:376-382); the DP-certified optimum is 474.28
+    (scripts/one_d_rpm_dp.py), so the trained 474.04 sits 0.24 under it."""
+    env_cfg = AviaryConfig(
+        num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+        obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0,
+    )
+    params, aux = _load(env_cfg, "one_d_rpm_hover.msgpack")
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
+    assert n >= 10
+    assert ret >= 474.0, ret
+
+
+def test_one_d_rpm_multiagent_checkpoint_solves_reference_threshold():
+    """ONE_D_RPM MultiHover: >= 949.5 (learn.py:80); DP-certified joint
+    optimum 467.34 + 483.27 = 950.61 under the 242-step episode."""
+    from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+    env_cfg = AviaryConfig(
+        num_drones=2, task=TASK_MULTIHOVER, action_type=ActionType.ONE_D_RPM,
+        obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0,
+    )
+    params, aux = _load(env_cfg, "one_d_rpm_multihover.msgpack")
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
+    assert n >= 10
+    assert ret >= 949.5, ret
 
 
 def test_pid_checkpoint_solves_threshold():
     """ActionType.PID Hover (3-dim waypoint offsets through the embedded
     DSLPID, reference BaseRLAviary.py:221-240): >= 467 over 10 consecutive
     deterministic episodes. Trained by plain annealed PPO (no warm-start) —
-    CPU re-verified 472.28/10 eps, 472.39/22 eps."""
+    CPU re-verified 472.84/10 eps under the 242-step episode."""
     env_cfg = AviaryConfig(
         num_drones=1, task=TASK_HOVER, action_type=ActionType.PID,
         obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,

@@ -164,6 +164,15 @@ def test_hover_truncation_tilt_and_timeout():
     state_t = state.replace(step_count=jnp.asarray(8 * 240 + 8, dtype=jnp.int32))
     _, _, _, _, trunc = av.step(state_t, jnp.zeros((1, 4)))
     assert bool(trunc)
+    # Exact boundary (reference pre-increment counter, BaseAviary.py:376-382):
+    # the 241st call (counter 8*240 entering) does NOT truncate; the 242nd
+    # (counter 8*241) does — an 8 s episode spans 242 reward-bearing steps.
+    s241 = state.replace(step_count=jnp.asarray(8 * 240, dtype=jnp.int32))
+    _, _, _, _, t241 = av.step(s241, jnp.zeros((1, 4)))
+    assert not bool(t241)
+    s242 = state.replace(step_count=jnp.asarray(8 * 241, dtype=jnp.int32))
+    _, _, _, _, t242 = av.step(s242, jnp.zeros((1, 4)))
+    assert bool(t242)
     kin = state.kin.replace(pos=state.kin.pos.at[0, 0].set(1.6))
     _, _, _, _, trunc2 = av.step(state.replace(kin=kin), jnp.zeros((1, 4)))
     assert bool(trunc2)

@@ -88,7 +88,22 @@ class MockSITL:
     Listens on the drone's state (9003+10i) and RC (9004+10i) ports, replies
     motor PWM fractions on 9002+10i. Arms when aux1 >= 1500 like the real
     SITL driven by the reference (BetaAviary.py:149-159).
+
+    The mixer must match the aviary's drone model: the default ``mix`` is
+    ``MIX_RACE`` (the reference's beta.py flies the racer), which has the
+    yaw-reaction signs FLIPPED relative to CF2X — pass ``mix=MIX_CF2X`` (or
+    use :meth:`for_model`) when the env is built with ``DroneModel.CF2X``,
+    or rate-mode corrections destabilize immediately.
     """
+
+    @classmethod
+    def for_model(cls, drone_model, drone_index: int = 0,
+                  udp_ip: str = "127.0.0.1"):
+        """MockSITL with the mixer matching ``drone_model`` (DroneModel or
+        its string value)."""
+        name = getattr(drone_model, "value", drone_model)
+        mix = cls.MIX_CF2X if str(name).startswith("cf2") else cls.MIX_RACE
+        return cls(drone_index, udp_ip, mix=mix)
 
     # pwm-fraction per deg/s of rate error. Sized for the RACE model's
     # authority (tau/err ~ 21/s closed-loop pole, stable with the ~2-tick

@@ -492,7 +492,9 @@ class BaseAviaryEnv(gym.Env):
 
             rgba, _, _ = render_drone_views(
                 self._state.kin.pos, self._state.kin.quat, self.params.arm,
-                CameraConfig(width=128, height=96), cam_indices=0)
+                CameraConfig(width=128, height=96,
+                             with_landmarks=bool(self.OBSTACLES)),
+                cam_indices=0)
             export_image(ImageType.RGB, np.asarray(rgba[0]),
                          self._record_dir, self._frame_num)
             self._frame_num += 1
@@ -610,7 +612,8 @@ class BaseAviaryEnv(gym.Env):
 
         kin = self._state.kin
         cfg = CameraConfig(width=int(self.IMG_RES[0]),
-                           height=int(self.IMG_RES[1]))
+                           height=int(self.IMG_RES[1]),
+                           with_landmarks=bool(self.OBSTACLES))
         # cam_indices renders only the requested view (the reference's
         # per-drone capture loop would otherwise cost N views per call)
         # while all N drones stay in the scene with their global seg ids.
@@ -684,6 +687,9 @@ class _RLAviary(BaseAviaryEnv):
         kwargs.setdefault("ctrl_freq", 30)
         kwargs.setdefault("act", ActionType.RPM)
         kwargs.setdefault("obs", ObservationType.KIN)
+        # The reference's RL base forces obstacles on (BaseRLAviary.py:89);
+        # the landmark spheres then appear in recorded/queried camera views.
+        kwargs.setdefault("obstacles", True)
         ctrl_freq = kwargs["ctrl_freq"]
         kwargs.setdefault("action_buffer_size", int(ctrl_freq // 2))
         kwargs["task"] = task

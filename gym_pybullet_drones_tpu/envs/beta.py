@@ -22,11 +22,8 @@ import numpy as np
 
 from gym_pybullet_drones_tpu.bridges.betaflight import BetaBridge
 from gym_pybullet_drones_tpu.compat.gym import BaseAviaryEnv
-from gym_pybullet_drones_tpu.core.rotations import quat_rotate
 from gym_pybullet_drones_tpu.envs.base import TASK_CTRL
 from gym_pybullet_drones_tpu.envs.spec import DroneModel, Physics
-
-import jax.numpy as jnp
 
 
 class BetaAviary(BaseAviaryEnv):
@@ -68,13 +65,16 @@ class BetaAviary(BaseAviaryEnv):
         t = i / self.CTRL_FREQ
 
         for j in range(self.NUM_DRONES):
-            o = obs[j]
-            quat_xyzw = o[3:7]
-            w_world = o[13:16]
-            # World -> body frame: rotate by the conjugate quaternion
-            q = jnp.asarray(quat_xyzw)
-            w_body = np.asarray(quat_rotate(
-                jnp.concatenate([-q[:3], q[3:4]]), jnp.asarray(w_world)))
+            o = np.asarray(obs[j])
+            quat_xyzw = np.asarray(o[3:7], dtype=float)
+            w_world = np.asarray(o[13:16], dtype=float)
+            # World -> body frame: rotate by the conjugate quaternion.
+            # Pure numpy on purpose: this per-drone host loop must not
+            # dispatch eager device ops (CLAUDE.md: ~1 s each over the TPU
+            # tunnel) for a 3-vector rotate.
+            x, y, z, w = -quat_xyzw[0], -quat_xyzw[1], -quat_xyzw[2], quat_xyzw[3]
+            t2 = 2.0 * np.cross([x, y, z], w_world)
+            w_body = w_world + w * t2 + np.cross([x, y, z], t2)
 
             self.bridges[j].send_fdm(t, w_body)
 

@@ -95,11 +95,20 @@ class CFAviary(BaseAviaryEnv):
         self._firm_ctx.activate()
         self.states = []
         self.takeoff_sent = False
+        # Hardware-latency buffers (CFAviary.py:121-124): zero-filled
+        # histories of length {ACTION,SENSOR}_DELAY ticks.
+        self.action_history = [[0, 0, 0, 0] for _ in range(self.ACTION_DELAY)]
+        self.sensor_history = [[[0, 0, 0], [0, 0, 0]]
+                               for _ in range(self.SENSOR_DELAY)]
         self.acclpf = [firm.lpf2pData() for _ in range(3)]
         self.gyrolpf = [firm.lpf2pData() for _ in range(3)]
         for i in range(3):
-            firm.lpf2pInit(self.acclpf[i], self.firmware_freq, self.ACCEL_LPF_CUTOFF_FREQ)
-            firm.lpf2pInit(self.gyrolpf[i], self.firmware_freq, self.GYRO_LPF_CUTOFF_FREQ)
+            # Reference quirk replicated: CFAviary.py:130-131 initializes the
+            # ACC filters with GYRO_LPF_CUTOFF_FREQ (80 Hz) and the GYRO
+            # filters with ACCEL_LPF_CUTOFF_FREQ (30 Hz) — the constants are
+            # swapped upstream, and parity means flying with that swap.
+            firm.lpf2pInit(self.acclpf[i], self.firmware_freq, self.GYRO_LPF_CUTOFF_FREQ)
+            firm.lpf2pInit(self.gyrolpf[i], self.firmware_freq, self.ACCEL_LPF_CUTOFF_FREQ)
         self.control = firm.control_t()
         self.setpoint = firm.setpoint_t()
         self.sensorData = firm.sensorData_t()
@@ -159,13 +168,29 @@ class CFAviary(BaseAviaryEnv):
             self._update_state(state_timestamp, cur_pos, cur_vel, cur_acc,
                                cur_rpy * self.RAD_TO_DEG)
             sensor_timestamp = int(self.tick / self.firmware_freq * 1e6)
-            self._update_sensor_data(sensor_timestamp, body_rot.apply(cur_acc),
-                                     cur_rotation_rates * self.RAD_TO_DEG)
+            if self.SENSOR_DELAY:
+                # Hardware sensing latency (CFAviary.py:230-233): feed the
+                # firmware the reading from SENSOR_DELAY ticks ago.
+                self._update_sensor_data(sensor_timestamp,
+                                         *self.sensor_history[0])
+                self.sensor_history = self.sensor_history[1:] + [
+                    [body_rot.apply(cur_acc),
+                     cur_rotation_rates * self.RAD_TO_DEG]]
+            else:
+                self._update_sensor_data(sensor_timestamp,
+                                         body_rot.apply(cur_acc),
+                                         cur_rotation_rates * self.RAD_TO_DEG)
             self._update_setpoint(self.tick / self.firmware_freq)
             self._step_controller()
 
             new_action = self.PWM2RPM_SCALE * np.clip(
                 np.array(self.pwms), self.MIN_PWM, self.MAX_PWM) + self.PWM2RPM_CONST
+            if self.ACTION_DELAY:
+                # Hardware response latency (CFAviary.py:254-257): apply the
+                # command issued ACTION_DELAY ticks ago.
+                delayed = np.asarray(self.action_history[0], dtype=float)
+                self.action_history = self.action_history[1:] + [new_action]
+                new_action = delayed
             if self._error:
                 new_action = np.zeros(4)
                 if self.first_motor_killed_print:
@@ -238,8 +263,10 @@ class CFAviary(BaseAviaryEnv):
         temperature [C], written onto any object with the baro_t fields."""
         baro.pressure = pressure
         baro.temperature = temperature
+        # Reference parity: the formula hard-codes 25 C (298.15 K) regardless
+        # of the temperature argument (CFAviary.py:311).
         baro.asl = (((1015.7 / baro.pressure) ** 0.1902630958 - 1)
-                    * (temperature + 273.15)) / 0.0065
+                    * (25 + 273.15)) / 0.0065
 
     @staticmethod
     def _update_3D_vec(point, timestamp, x, y, z):

@@ -77,6 +77,14 @@ def restore_checkpoint(path: str, template: Any, step: int = None) -> Any:
 
 
 def latest_step(path: str) -> int:
-    steps = [int(d.split("_")[1]) for d in os.listdir(path)
-             if d.startswith("step_")]
+    """Largest completed step under ``path``. Non-numeric `step_*` entries —
+    notably orbax's `step_<n>.orbax-checkpoint-tmp-<ts>` leftovers from an
+    interrupted save — are skipped, so resume works after a crash mid-save."""
+    steps = []
+    for d in os.listdir(path):
+        if not d.startswith("step_"):
+            continue
+        suffix = d.split("_", 1)[1]
+        if suffix.isdigit():
+            steps.append(int(suffix))
     return max(steps) if steps else -1

@@ -169,11 +169,12 @@ def rollout(
     This replaces the reference's host loop (pid.py:132-167): one jitted
     program, zero host<->device syncs inside the trajectory.
     """
-    keys = (
-        jax.random.split(rng, num_steps)
-        if rng is not None
-        else jnp.zeros((num_steps, 2), dtype=jnp.uint32)
-    )
+    # With rng=None the rollout is still deterministic, but each step gets a
+    # DISTINCT key (split of a fixed seed) — a constant all-zeros key would
+    # silently collapse a stochastic policy's exploration noise to the same
+    # sample at every timestep.
+    keys = jax.random.split(
+        jax.random.PRNGKey(0) if rng is None else rng, num_steps)
 
     def body(carry, key):
         env_state, pol_state, cur_obs = carry

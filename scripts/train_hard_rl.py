@@ -72,8 +72,6 @@ def main():
                          "(TPU-trained policies are re-verified on CPU)")
     ap.add_argument("--out", default="results")
     args = ap.parse_args()
-    if args.multiagent and args.case == "rgb":
-        ap.error("--multiagent is not wired for the rgb case")
     os.makedirs(args.out, exist_ok=True)
 
     if args.case != "rgb":
@@ -95,13 +93,18 @@ def main():
         total = int(args.steps or 3e7)
         num_envs = args.num_envs or 128
     else:
+        from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+        n_drones = 2 if args.multiagent else 1
         env_cfg = AviaryConfig(
-            num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+            num_drones=n_drones,
+            task=TASK_MULTIHOVER if args.multiagent else TASK_HOVER,
+            action_type=ActionType.ONE_D_RPM,
             obs_type=ObservationType.RGB, pyb_freq=240, ctrl_freq=30,
             action_buffer_size=15, episode_len_sec=8.0,
             frame_stack=args.frame_stack,
         )
-        threshold = 474.0
+        threshold = 949.5 if args.multiagent else 474.0
         total = int(args.steps or 3e6)
         num_envs = args.num_envs or 64
 
@@ -111,7 +114,12 @@ def main():
     ppo_cfg = PPOConfig(
         num_envs=num_envs, n_steps=128, minibatch_size=1024,
         learning_rate=args.lr, hidden=(args.hidden, args.hidden),
-        log_std_anneal_to=(args.anneal_to if args.case != "rgb" else None),
+        # RGB-single solved without annealing; the multiagent pixel bar
+        # (949.5 vs joint optimum 950.61) leaves ~1 reward of headroom, so
+        # it anneals like the KIN cases.
+        log_std_anneal_to=(args.anneal_to
+                           if (args.case != "rgb" or args.multiagent)
+                           else None),
         log_std_anneal_updates=int(updates * args.anneal_frac),
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(args.seed))

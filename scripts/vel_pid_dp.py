@@ -88,7 +88,7 @@ SUB = 8
 CTRL_DT = 1.0 / 30.0
 Z_CONTACT = 0.0125
 Z0 = 0.025 / 2 + 0.1
-HORIZON = 241
+HORIZON = 242  # 8 s at 30 Hz, timeout on the 242nd call (pre-increment counter, BaseAviary.py:376-382)
 Z_LO, Z_HI = 0.0, 2.05
 V_LO, V_HI = -1.5, 1.5  # |vz| stays < 0.5 under these weak controllers
 

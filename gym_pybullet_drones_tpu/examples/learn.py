@@ -82,8 +82,9 @@ def run(
     # The committed checkpoints reach 474.04 / 950.17
     # (tests/test_checkpoints.py). Exploration-noise annealing closes the
     # last ~1 reward of the gap, so ONE_D_RPM anneals like the RPM cases.
-    # Training budget: ~5M env-steps locally, 100 steps in CI (learn.py:93)
-    total_steps = int(5e6) if local else int(1e2)
+    # Training budget: 1e7 env-steps locally (the reference's learn.py:93
+    # budget; stop-on-threshold usually exits after ~2M), 100 steps in CI
+    total_steps = int(1e7) if local else int(1e2)
     # 4-dim RPM is a knife-edge stabilization task: warm-start from the
     # DSLPID-in-band expert and anneal the exploration noise away so the
     # deterministic policy must stabilize on its own. Multiagent doubles the
@@ -116,7 +117,9 @@ def run(
     eval_every = max(1, updates // 40)
     eval_returns = []
     best = -np.inf
-    best_params = runner.params
+    # device_get: the train step donates the runner, so holding a bare
+    # reference to runner.params would keep a buffer the NEXT update deletes
+    best_params = jax.device_get(runner.params)
     for u in range(updates):
         runner, metrics = train(runner)
         if (u + 1) % eval_every == 0 or u == updates - 1:
@@ -132,7 +135,7 @@ def run(
                   f"({n_eps} eps), train reward/step {float(metrics['mean_reward']):.3f}")
             if ret > best:
                 best = ret
-                best_params = runner.params
+                best_params = jax.device_get(runner.params)
             if ret >= target_reward:
                 print(f"[INFO] solved: {ret:.1f} >= {target_reward}")
                 break

@@ -79,6 +79,27 @@ gpos = np.asarray(jax.device_get(
 results["swarm_pos_sum"] = float(np.sum(gpos))
 results["swarm_pos_digest"] = [float(v) for v in gpos.reshape(-1)[:8]]
 
+# ---- 1b. the SAME cross-process swarm through the rectangular Pallas path
+# (local targets x all-gathered sources inside shard_map, interpret mode on
+# CPU). Well-conditioned unique-z cloud (0.3 m gaps, see the CLAUDE.md
+# testing note) so the pallas-vs-dense comparison is not chaotic.
+pos_u = pos.copy()
+pos_u[:, 2] = 1.0 + 0.3 * np.arange(n, dtype=np.float32)
+kin_u = init_kin_state(jnp.asarray(pos_u), jnp.tile(
+    jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+kin_u_sh = jax.tree.map(lambda x: jax.device_put(x, sh), kin_u)
+step_pl = make_sharded_swarm_physics(
+    mesh, params, 1 / 240, 5, Physics.PYB_DW, collisions=True,
+    pallas=True, interpret=True, pallas_opts=dict(bt=4, bs=8))
+out_pl, _ = step_pl(kin_u_sh, rpm_sh, rpm_sh)
+out_dense_u, _ = step(kin_u_sh, rpm_sh, rpm_sh)
+gather = jax.jit(lambda x: x, out_shardings=NamedSharding(mesh, P()))
+gpos_pl = np.asarray(jax.device_get(gather(out_pl.pos)))
+gpos_du = np.asarray(jax.device_get(gather(out_dense_u.pos)))
+results["swarm_pallas_pos_digest"] = [float(v)
+                                      for v in gpos_pl.reshape(-1)[:8]]
+results["swarm_pallas_vs_dense_max"] = float(np.abs(gpos_pl - gpos_du).max())
+
 # ---- 2. one PPO train step, env axis sharded over the global mesh
 from gym_pybullet_drones_tpu.rl.ppo import (  # noqa: E402
     PPOConfig, make_ppo_train_step, ppo_init,

@@ -67,6 +67,10 @@ def test_two_process_distributed_swarm_and_ppo(tmp_path):
     assert r0["swarm_pos_digest"] == r1["swarm_pos_digest"]
     assert r0["ppo_loss"] == r1["ppo_loss"]
     assert r0["ppo_param_digest"] == r1["ppo_param_digest"]
+    # Rectangular Pallas path across the process boundary: identical across
+    # workers, and within f32 round-off of the dense sharded pipeline
+    assert r0["swarm_pallas_pos_digest"] == r1["swarm_pallas_pos_digest"]
+    assert r0["swarm_pallas_vs_dense_max"] < 1e-4, r0
 
     # Cross-check the swarm against a single-process dense run (this pytest
     # process has its own 8-device CPU config from conftest)

@@ -95,6 +95,7 @@ class BaseAviaryEnv(gym.Env):
             task=task,
             action_type=act,
             obs_type=obs,
+            obstacles=obstacles,
             action_buffer_size=action_buffer_size,
             episode_len_sec=episode_len_sec,
             neighbourhood_radius=float(neighbourhood_radius),

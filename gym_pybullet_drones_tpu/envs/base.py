@@ -82,6 +82,12 @@ class AviaryConfig:
     # *default* spawn grid and tasks never collide, and Bullet-parity of
     # non-contact trajectories is bit-exact only without the extra pass.
     collisions: bool = False
+    # Scene obstacles for camera views: the reference's RL base always loads
+    # the four landmark bodies (BaseRLAviary.py:89, :99-128) and they appear
+    # in every camera; obstacles=False removes them from the rendered scene
+    # (BaseAviary leaves the world empty). Controls RENDER content only —
+    # contact with them additionally needs `collisions`.
+    obstacles: bool = True
     # RGB frame stacking (SB3 VecFrameStack analogue, channel-wise): the held
     # frame slot keeps the last K captures as (N, H, W, 4K). K=1 is the
     # reference's raw single-frame observation (BaseRLAviary.py:293-306); a
@@ -198,7 +204,9 @@ def _render_frames(cfg: AviaryConfig, kin: KinState, params: DroneParams):
     """Fresh onboard-camera frames (N, 48, 64, 4) uint8."""
     from gym_pybullet_drones_tpu.render.camera import CameraConfig, render_drone_views
 
-    rgba, _, _ = render_drone_views(kin.pos, kin.quat, params.arm, CameraConfig())
+    rgba, _, _ = render_drone_views(
+        kin.pos, kin.quat, params.arm,
+        CameraConfig(with_landmarks=cfg.obstacles))
     return rgba
 
 
@@ -450,7 +458,7 @@ def step(
             0.0, params.max_rpm)
         new_ctrl = state.ctrl
     obstacles = None
-    if cfg.collisions and cfg.obs_type == ObservationType.RGB:
+    if cfg.collisions and cfg.obstacles:
         from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
 
         obstacles = rl_obstacles(cfg.jnp_dtype)

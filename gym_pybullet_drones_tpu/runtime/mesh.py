@@ -67,26 +67,50 @@ def env_sharding(mesh: Mesh, axis: str = "env") -> NamedSharding:
     return NamedSharding(mesh, P(axis))
 
 
-def _put(x, sharding):
-    """Place one array onto a sharding, multi-process-safe.
+def _tree_identity(tree):
+    return tree
+
+
+def _put_tree(tree, shardings):
+    """Place a whole pytree onto `shardings` (one sharding or a matching
+    pytree of them), multi-process-safe.
 
     `jax.device_put` refuses host arrays on NON-ADDRESSABLE shardings (a
     multi-host mesh where this process owns only some devices); a jitted
     identity with `out_shardings` performs the same placement through the
     runtime's global-array machinery (the CLAUDE.md-documented workaround,
-    exercised by tests/distributed_worker.py). Zero-sized arrays (e.g. an
-    empty action buffer) fall back to device_put — XLA force-replicates
-    empty outputs, so the jitted identity cannot honor the sharding (and
+    exercised by tests/distributed_worker.py). The whole tree goes through
+    ONE jitted call (cached on the module-level identity) — a per-leaf jit
+    would pay a trace round-trip per leaf. Zero-sized leaves (e.g. an empty
+    action buffer) are placed by device_put instead: XLA force-replicates
+    empty outputs, so the jitted identity cannot honor their sharding (and
     there is no data to distribute anyway)."""
-    if x.size == 0:
-        return jax.device_put(x, sharding)
-    return jax.jit(lambda a: a, out_shardings=sharding)(x)
+    if isinstance(shardings, jax.sharding.Sharding):
+        sh_tree = jax.tree.map(lambda _: shardings, tree)
+    else:
+        sh_tree = shardings
+    leaves, treedef = jax.tree.flatten(tree)
+    sh_leaves = jax.tree.flatten(sh_tree)[0]
+    live = [i for i, x in enumerate(leaves) if x.size > 0]
+    out = list(leaves)
+    for i, x in enumerate(leaves):
+        if x.size == 0:
+            out[i] = jax.device_put(x, sh_leaves[i])
+    placed = jax.jit(_tree_identity, out_shardings=tuple(
+        sh_leaves[i] for i in live))(tuple(leaves[i] for i in live))
+    for k, i in enumerate(live):
+        out[i] = placed[k]
+    return jax.tree.unflatten(treedef, out)
+
+
+def _put(x, sharding):
+    """Single-array form of `_put_tree`."""
+    return _put_tree(x, sharding)
 
 
 def shard_env_batch(mesh: Mesh, tree, axis: str = "env"):
     """Place a batched pytree (leading env axis) onto the mesh, sharded."""
-    sh = env_sharding(mesh, axis)
-    return jax.tree.map(lambda x: _put(x, sh), tree)
+    return _put_tree(tree, env_sharding(mesh, axis))
 
 
 def make_sharded_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
@@ -159,24 +183,21 @@ def shard_swarm_state(mesh: Mesh, state, axis: str = "env"):
     rep = NamedSharding(mesh, P())
 
     buf = state.action_buffer
-    if buf.ndim >= 2 and buf.shape[0] > 0:
-        buf = _put(buf, sh_second)
-    else:
-        buf = _put(buf, rep)
+    buf_sh = sh_second if (buf.ndim >= 2 and buf.shape[0] > 0) else rep
 
-    def place(x):
-        if x.ndim == 0:
-            return _put(x, rep)
-        return _put(x, sh)
+    # held camera frames carry the drone axis first like kin; a None leaf
+    # (KIN envs) passes through untouched. One _put_tree call places the
+    # whole state (single jitted identity, not per-leaf compiles).
+    def leaf_sh(x):
+        return rep if x.ndim == 0 else sh
 
-    return state.replace(
-        kin=jax.tree.map(place, state.kin),
-        last_rpm=place(state.last_rpm),
-        ctrl=jax.tree.map(place, state.ctrl),
-        action_buffer=buf,
-        step_count=_put(state.step_count, rep),
-        # held camera frames carry the drone axis first like kin; a None
-        # leaf (KIN envs) passes through untouched
+    sh_tree = state.replace(
+        kin=jax.tree.map(leaf_sh, state.kin),
+        last_rpm=leaf_sh(state.last_rpm),
+        ctrl=jax.tree.map(leaf_sh, state.ctrl),
+        action_buffer=buf_sh,
+        step_count=rep,
         rgb_frames=(None if state.rgb_frames is None
-                    else place(state.rgb_frames)),
+                    else leaf_sh(state.rgb_frames)),
     )
+    return _put_tree(state, sh_tree)

@@ -128,11 +128,10 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
 
 def shard_swarm_kin(mesh: Mesh, kin: KinState, axis: str = "env") -> KinState:
     """Place a KinState (leading drone axis) onto the mesh, sharded
-    (multi-process-safe: jitted identity, see runtime.mesh._put)."""
-    from gym_pybullet_drones_tpu.runtime.mesh import _put
+    (multi-process-safe: one jitted identity, see runtime.mesh._put_tree)."""
+    from gym_pybullet_drones_tpu.runtime.mesh import _put_tree
 
-    sh = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: _put(x, sh), kin)
+    return _put_tree(kin, NamedSharding(mesh, P(axis)))
 
 
 def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,

@@ -215,7 +215,8 @@ def test_pallas_pair_kernels_z_sorted_match_dense():
         rng.uniform(-1, 1, (N, 3)) * np.array([4, 4, 1.5]) + [0, 0, 2.0],
         jnp.float32)
     # sprinkle overlapping pairs so the contact band actually fires
-    pos = pos.at[1::64].set(pos[0::64] + jnp.asarray([0.08, 0.0, 0.05]))
+    pos = pos.at[1::64].set(
+        pos[0::64] + jnp.asarray([0.08, 0.0, 0.05], jnp.float32))
     vel = jnp.asarray(rng.uniform(-0.5, 0.5, (N, 3)), jnp.float32)
 
     dense_w = np.asarray(aero.downwash_forces_body_z(pos, params))

@@ -43,20 +43,26 @@ rollouts below (which recompute Q from the stacked value tables at the
 exact continuous state, never entering the ball) realize the DP value to
 <0.5, confirming the no-ball reading is achievable.
 
-CONCLUSION (opposite of the ONE_D_RPM case): the learn.py thresholds ARE
-reachable for VEL and ONE_D_PID. The D-term velocity damping caps the climb
-at ~0.25-0.27 m/s (terminal velocity where tz = m*g), costing ~13-14 reward
-in transit over the 0.8875 m climb, but that still leaves the optimum ABOVE
-the 467 bar (unlike ONE_D_RPM, whose optimum 472.28 sits below its 474 bar).
+CONCLUSION: the learn.py thresholds are comfortably reachable for VEL and
+ONE_D_PID. The D-term velocity damping caps the climb at ~0.25-0.27 m/s
+(terminal velocity where tz = m*g), costing ~13-14 reward in transit over
+the 0.8875 m climb, but that still leaves the optimum well above the 467
+bar (for ONE_D_RPM the margin over its 474 bar is only 0.28 —
+scripts/one_d_rpm_dp.py).
 
-Certified results (float64; both grid resolutions agree to <0.1):
+Certified results under the correct 242-step episode (float64; grid
+resolutions agree to <0.1; greedy realizations from the exact continuous
+start match the DP to <0.1):
 
     Hover (climb 0.8875, threshold 467):
-        VEL        DP optimum 468.62   greedy realization 468.3
-        ONE_D_PID  DP optimum 468.10   greedy realization 467.9
+        VEL        DP optimum 470.45   greedy realization 470.45
+        ONE_D_PID  DP optimum 470.72   greedy realization 470.75
     MultiHover joint (climbs 1.0 + 0.5, threshold 920):
-        VEL        457.67 + 478.73 = 936.40
-        ONE_D_PID  457.08 + 478.27 = 935.35
+        VEL        459.46 + 483.22 = 942.68
+        ONE_D_PID  460.00 + 483.23 = 943.23
+
+(Historical: under the earlier incorrect 241-step horizon these were
+468.62 / 468.10 single and 936.40 / 935.35 joint.)
 
 (run `--check` to replay the greedy action sequences through the real
 float32 functional env; values land within ~0.3 of the f64 reduced model).

@@ -132,8 +132,8 @@ def test_vel_checkpoint_solves_threshold():
     """ActionType.VEL Hover (velocity commands through the embedded DSLPID,
     reference BaseRLAviary.py:228-239): >= 467 over 10 consecutive
     deterministic episodes. The DP certificate (scripts/vel_pid_dp.py) puts
-    the vertical-command optimum at 468.62 — the policy's 468.3 sits within
-    0.3 of it; the D-term terminal velocity (~0.25 m/s) is what caps the
+    the vertical-command optimum at 470.45 (242-step episode) — the policy's
+    470.34 sits within 0.11 of it; the D-term terminal velocity (~0.25 m/s) is what caps the
     climb, not the learner."""
     env_cfg = AviaryConfig(
         num_drones=1, task=TASK_HOVER, action_type=ActionType.VEL,
@@ -148,7 +148,7 @@ def test_vel_checkpoint_solves_threshold():
 
 def test_vel_multiagent_checkpoint_solves_threshold():
     """ActionType.VEL MultiHover (2 drones): >= 920 over 10 consecutive
-    deterministic episodes (DP joint optimum 936.40)."""
+    deterministic episodes (DP joint optimum 942.68, 242-step episode)."""
     from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
 
     env_cfg = AviaryConfig(
@@ -165,9 +165,8 @@ def test_vel_multiagent_checkpoint_solves_threshold():
 def test_one_d_pid_checkpoint_solves_threshold():
     """ActionType.ONE_D_PID Hover: >= 467 over 10 consecutive deterministic
     episodes. TIGHT by construction: the exact 3-state DP optimum over ALL
-    policies is 468.10 (scripts/vel_pid_dp.py), so no checkpoint can clear
-    the bar by more than ~1.1 — the policy's 467.1 is within 1.0 of the
-    certified optimum."""
+    policies is 470.72 (scripts/vel_pid_dp.py, 242-step episode) — the
+    policy's 469.04 is within 1.7 of the certified optimum."""
     env_cfg = AviaryConfig(
         num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_PID,
         obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
@@ -181,7 +180,7 @@ def test_one_d_pid_checkpoint_solves_threshold():
 
 def test_one_d_pid_multiagent_checkpoint_solves_threshold():
     """ActionType.ONE_D_PID MultiHover (2 drones): >= 920 over 10 consecutive
-    deterministic episodes (DP joint optimum 935.35)."""
+    deterministic episodes (DP joint optimum 943.23, 242-step episode)."""
     from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
 
     env_cfg = AviaryConfig(

@@ -54,31 +54,41 @@ def plan_mission(init_pos, init_yaw, legs, dtype=jnp.float32) -> MissionLegs:
     (cffirm.cpp:512-533). Holds become explicit zero-length-displacement legs
     so velocity/acceleration are exactly zero during them.
     """
-    init_pos = np.asarray(init_pos, np.float32)
+    # Internal accumulation in float64 regardless of the output dtype: leg
+    # start times are running sums, and float32 sums would leak rounding
+    # into supposedly-float64 missions (cast happens once at stack time).
+    init_pos = np.asarray(init_pos, np.float64)
     batch = init_pos.shape[:-1]
     cur_p = init_pos
-    cur_yaw = np.broadcast_to(np.asarray(init_yaw, np.float32), batch).copy()
-    t = np.zeros(batch, np.float32)
+    cur_yaw = np.broadcast_to(np.asarray(init_yaw, np.float64), batch).copy()
+    t = np.zeros(batch, np.float64)
     t0s, durs, p0s, p1s, y0s, y1s = [], [], [], [], [], []
 
-    def emit(p1, yaw1, duration):
+    def emit(p1, yaw1, duration, advance=None):
+        """Append a leg. ``advance``: per-drone time actually consumed
+        (defaults to ``duration``); a mixed-batch hold leg floors its
+        duration for the polynomial math but must NOT advance the clock of
+        drones whose hold is 0 — their next leg starts at the same t0 and,
+        sharing it, wins the is-started selection, so the phantom leg is
+        never active for them."""
         nonlocal cur_p, cur_yaw, t
         duration = np.maximum(np.broadcast_to(
-            np.asarray(duration, np.float32), batch), 1e-3)
+            np.asarray(duration, np.float64), batch), 1e-3)
         t0s.append(t.copy()); durs.append(duration)
-        p0s.append(cur_p.copy()); p1s.append(np.broadcast_to(p1, batch + (3,)).astype(np.float32).copy())
-        y0s.append(cur_yaw.copy()); y1s.append(np.broadcast_to(yaw1, batch).astype(np.float32).copy())
+        p0s.append(cur_p.copy()); p1s.append(np.broadcast_to(p1, batch + (3,)).astype(np.float64).copy())
+        y0s.append(cur_yaw.copy()); y1s.append(np.broadcast_to(yaw1, batch).astype(np.float64).copy())
         cur_p = p1s[-1]
         cur_yaw = y1s[-1]
-        t = t + duration
+        t = t + (duration if advance is None else advance)
 
     for leg in legs:
-        p1 = cur_p if leg.get("pos") is None else np.asarray(leg["pos"], np.float32)
-        yaw1 = cur_yaw if leg.get("yaw") is None else np.asarray(leg["yaw"], np.float32)
+        p1 = cur_p if leg.get("pos") is None else np.asarray(leg["pos"], np.float64)
+        yaw1 = cur_yaw if leg.get("yaw") is None else np.asarray(leg["yaw"], np.float64)
         emit(p1, yaw1, leg["duration"])
-        hold = leg.get("hold", 0.0)
-        if np.any(np.asarray(hold) > 0.0):
-            emit(cur_p, cur_yaw, hold)
+        hold = np.broadcast_to(np.asarray(leg.get("hold", 0.0), np.float64),
+                               batch)
+        if np.any(hold > 0.0):
+            emit(cur_p, cur_yaw, hold, advance=np.where(hold > 0.0, np.maximum(hold, 1e-3), 0.0))
 
     stack = lambda xs: jnp.asarray(np.stack(xs, axis=len(batch)), dtype)
     return MissionLegs(t0=stack(t0s), duration=stack(durs), p0=stack(p0s),
@@ -101,10 +111,13 @@ def mission_setpoint(legs: MissionLegs, t):
     """Evaluate the mission at time ``t`` (scalar or broadcastable).
 
     Returns a dict of full-state setpoints shaped like the batch:
-    ``pos``/``vel``/``acc`` (..., 3), ``yaw``/``yaw_rate`` (...,) [rad],
-    and ``quat`` (..., 4) xyzw (yaw-only, cffirm.cpp:608-612) — exactly the
-    fields ``mellinger_control`` consumes (pass yaw as
-    ``sp_yaw_deg=jnp.degrees(...)`` or the quat as ``sp_quat``).
+    ``pos``/``vel``/``acc`` (..., 3), ``yaw``/``yaw_rate`` (...,) [rad and
+    rad/s], and ``quat`` (..., 4) xyzw (yaw-only, cffirm.cpp:608-612) — the
+    fields ``mellinger_control`` consumes, MINDING ITS DEGREE INPUTS: pass
+    yaw as ``sp_yaw_deg=jnp.degrees(sp["yaw"])`` (or the quat as
+    ``sp_quat``) and the rate as
+    ``sp_rate_deg=jnp.stack([0, 0, jnp.degrees(sp["yaw_rate"])], -1)`` —
+    feeding rad/s silently underweights the yaw damping term 57x.
 
     Before the first leg tau clamps to 0 (hold start); after the last, to 1
     (hold final target) — the C commander's clamp semantics.

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
+
 ATTITUDE_RATE = 500.0  # Hz, firmware stabilizer rate (cffirm.cpp ATTITUDE_RATE)
 _DEG2RAD = 0.017453292519943295
 
@@ -137,20 +139,6 @@ def mellinger_reset(batch_shape=(), dtype=jnp.float32) -> MellingerState:
                           lpf_delay1=z2, lpf_delay2=z2)
 
 
-def _quat_to_matrix_xyzw(q):
-    """Row-major rotation matrix from an xyzw quaternion (cffirm quat_to_R)."""
-    x, y, z, w = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
-    row = lambda a, b, c: jnp.stack([a, b, c], -1)
-    return jnp.stack(
-        [
-            row(1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)),
-            row(2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)),
-            row(2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)),
-        ],
-        -2,
-    )
-
-
 def _vnorm(a):
     """cffirm vnorm: unit vector, falling back to +z below 1e-9 magnitude."""
     n = jnp.sqrt(jnp.sum(a * a, axis=-1, keepdims=True))
@@ -210,7 +198,8 @@ def mellinger_control(
     else:
         desired_yaw = jnp.zeros_like(cur_pos[..., 0])
 
-    rot = _quat_to_matrix_xyzw(cur_quat)
+    # cffirm quat_to_R == core.rotations.quat_to_matrix (xyzw, row-major)
+    rot = quat_to_matrix(cur_quat)
     z_axis = rot[..., :, 2]
     current_thrust = jnp.sum(target_thrust * z_axis, axis=-1)
 

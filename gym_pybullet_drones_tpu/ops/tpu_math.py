@@ -42,7 +42,13 @@ def atan(x):
 
 
 def atan2(y, x):
-    """Elementwise two-argument arctangent with full quadrant handling."""
+    """Elementwise two-argument arctangent with full quadrant handling.
+
+    Deviation from IEEE/jnp.arctan2 at SIGNED-ZERO edges (Mosaic offers no
+    cheap signbit, and no in-repo caller can produce a -0.0 operand — the x
+    inputs are of the form 1 - 2(y^2+z^2)): atan2(+-0.0, -0.0) returns 0
+    instead of +-pi, and atan2(-0.0, x<0) returns +pi instead of -pi.
+    Everywhere else parity with jnp.arctan2 is ~1e-7 (float32)."""
     safe_x = jnp.where(x == 0.0, 1.0, x)
     base = atan(y / safe_x)
     out = jnp.where(

@@ -104,7 +104,12 @@ class CnnActorCritic(nn.Module):
 
 @dataclasses.dataclass(frozen=True)
 class PPOConfig:
-    """SB3-default hyperparameters (stable_baselines3 PPO signature)."""
+    """PPO hyperparameters, SB3-defaulted where the setting is per-update
+    math (lr 3e-4, gamma 0.99, gae_lambda 0.95, clip 0.2, 10 epochs,
+    minibatch 64, tanh 64-64 nets, log_std_init 0). n_steps defaults to 256
+    rather than SB3's 2048: SB3 tuned that for n_envs=1, while this learner
+    runs wide env batches — the PRODUCT num_envs*n_steps (samples per
+    update) is the comparable quantity."""
 
     num_envs: int = 8
     n_steps: int = 256  # per-env rollout length between updates

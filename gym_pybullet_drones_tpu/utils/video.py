@@ -24,6 +24,10 @@ def _jpeg_bytes(frame: np.ndarray, quality: int = 90) -> bytes:
 
     arr = np.asarray(frame)
     if arr.dtype != np.uint8:
+        # Float frames in matplotlib's [0, 1] convention would clip to 0/1
+        # intensity (a black video); rescale them to [0, 255] first.
+        if np.issubdtype(arr.dtype, np.floating) and arr.size and arr.max() <= 1.0:
+            arr = arr * 255.0
         arr = np.clip(arr, 0, 255).astype(np.uint8)
     if arr.ndim == 3 and arr.shape[2] == 4:
         arr = arr[:, :, :3]
@@ -101,23 +105,30 @@ def write_mjpeg_avi(frames, path: str, fps: int = 24, quality: int = 90) -> str:
 def encode_video(frames, path: str, fps: int = 24) -> str:
     """Frames -> video file. Uses ffmpeg (H.264 MP4) when available; falls
     back to the built-in MJPEG AVI muxer (path extension switched to .avi)."""
+    frames = list(frames)  # may need two passes (ffmpeg then fallback)
     if shutil.which("ffmpeg") and path.endswith(".mp4"):
         import tempfile
 
-        with tempfile.TemporaryDirectory() as td:
-            from PIL import Image
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                from PIL import Image
 
-            for i, fr in enumerate(frames):
-                arr = np.asarray(fr)
-                if arr.ndim == 3 and arr.shape[2] == 4:
-                    arr = arr[:, :, :3]
-                Image.fromarray(arr.astype(np.uint8)).save(
-                    os.path.join(td, f"f{i:06d}.png"))
-            subprocess.run(
-                ["ffmpeg", "-y", "-framerate", str(fps), "-i",
-                 os.path.join(td, "f%06d.png"), "-pix_fmt", "yuv420p", path],
-                check=True, capture_output=True)
-        return path
+                for i, fr in enumerate(frames):
+                    arr = np.asarray(fr)
+                    if arr.ndim == 3 and arr.shape[2] == 4:
+                        arr = arr[:, :, :3]
+                    Image.fromarray(arr.astype(np.uint8)).save(
+                        os.path.join(td, f"f{i:06d}.png"))
+                subprocess.run(
+                    ["ffmpeg", "-y", "-framerate", str(fps), "-i",
+                     os.path.join(td, "f%06d.png"), "-pix_fmt", "yuv420p",
+                     path],
+                    check=True, capture_output=True)
+            return path
+        except (subprocess.CalledProcessError, OSError):
+            # a present-but-broken ffmpeg (missing encoder, sandbox) must not
+            # defeat the dependency-free fallback this module exists for
+            pass
     if path.endswith(".mp4"):
         path = path[:-4] + ".avi"
     return write_mjpeg_avi(frames, path, fps=fps)

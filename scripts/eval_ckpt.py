@@ -4,7 +4,7 @@ persists across auto-resets, reference BaseRLAviary.py:153-155, so episodes
 genuinely differ; see CLAUDE.md "RL eval protocol").
 
 Run: JAX_PLATFORMS=cpu python scripts/eval_ckpt.py <ckpt.msgpack> \
-         <case: rpm4|pid|vel|one_d_pid|rgb> [--multiagent] [--hidden 64]
+         <case: rpm4|pid|vel|one_d_pid|one_d_rpm|rgb> [--multiagent] [--hidden 64]
 """
 
 import argparse
@@ -32,7 +32,8 @@ from gym_pybullet_drones_tpu.rl.ppo import PPOConfig, evaluate_policy, ppo_init
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("ckpt")
-    ap.add_argument("case", choices=["rpm4", "pid", "vel", "one_d_pid", "rgb"])
+    ap.add_argument("case", choices=["rpm4", "pid", "vel", "one_d_pid",
+                                     "one_d_rpm", "rgb"])
     ap.add_argument("--multiagent", action="store_true")
     ap.add_argument("--hidden", type=int, default=64)
     ap.add_argument("--eval_eps", type=int, default=10)
@@ -40,6 +41,7 @@ def main():
 
     act = {"rpm4": ActionType.RPM, "pid": ActionType.PID,
            "vel": ActionType.VEL, "one_d_pid": ActionType.ONE_D_PID,
+           "one_d_rpm": ActionType.ONE_D_RPM,
            "rgb": ActionType.ONE_D_RPM}[args.case]
     env_cfg = AviaryConfig(
         num_drones=2 if args.multiagent else 1,

@@ -172,3 +172,36 @@ def test_fleet_mission_on_device():
     final = np.asarray(state.kin.pos)
     assert np.all(np.abs(final[:, :2] - lands[:, :2]) < 0.06), final
     assert np.all(np.abs(final[:, 2] - lands[:, 2]) < 0.15), final
+
+
+def test_mixed_batch_hold_does_not_shift_zero_hold_drones():
+    """A per-drone hold of [5, 0] must delay only drone 0's next leg: drone
+    1's schedule is unshifted (no phantom 1e-3 s hold leg in its timeline)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_pybullet_drones_tpu.control.commander import (
+        mission_setpoint,
+        plan_mission,
+    )
+
+    legs = plan_mission(
+        init_pos=np.zeros((2, 3)), init_yaw=np.zeros(2),
+        legs=[
+            {"pos": np.array([[0, 0, 1.0], [0, 0, 1.0]]), "duration": 2.0,
+             "hold": np.array([5.0, 0.0])},
+            {"pos": np.array([[1.0, 0, 1.0], [1.0, 0, 1.0]]), "duration": 2.0},
+        ])
+    # At t=3.0: drone 0 is mid-hold (still at [0,0,1], zero velocity);
+    # drone 1 started its second leg at exactly t=2.0 (halfway by t=3.0).
+    sp = mission_setpoint(legs, jnp.asarray(3.0))
+    np.testing.assert_allclose(np.asarray(sp["pos"][0]), [0, 0, 1.0],
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp["vel"][0]), 0.0, atol=1e-6)
+    assert 0.2 < float(sp["pos"][1, 0]) < 0.8  # drone 1 underway since t=2.0
+    # and at t=4.0 drone 1 has ARRIVED (2 s leg from t=2.0), drone 0 holds
+    sp4 = mission_setpoint(legs, jnp.asarray(4.0))
+    np.testing.assert_allclose(np.asarray(sp4["pos"][1]), [1.0, 0, 1.0],
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sp4["pos"][0]), [0, 0, 1.0],
+                               atol=1e-6)

@@ -81,3 +81,51 @@ def test_measure_throughput_and_monitor():
     mon.add_steps(240)
     assert mon.sim_time == 1.0
     assert "simulation time 1.0s@240Hz" in mon.report()
+
+
+def test_latest_step_skips_interrupted_orbax_tmp(tmp_path):
+    """Resume must survive an interrupted save: orbax leaves
+    'step_<n>.orbax-checkpoint-tmp-<ts>' directories behind."""
+    from gym_pybullet_drones_tpu.runtime.checkpoint import latest_step
+
+    (tmp_path / "step_3").mkdir()
+    (tmp_path / "step_5.orbax-checkpoint-tmp-1699999").mkdir()
+    (tmp_path / "step_7").mkdir()
+    assert latest_step(str(tmp_path)) == 7
+
+
+def test_rollout_default_rng_gives_distinct_keys():
+    """rollout(rng=None) must feed the policy DISTINCT per-step keys — a
+    constant key would collapse stochastic exploration to one sample. The
+    policy carries its latest key out as policy state; the final carried
+    key of a 1-step rollout must differ from a 2-step rollout's."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_pybullet_drones_tpu.envs import base as envbase
+    from gym_pybullet_drones_tpu.envs.base import AviaryConfig, TASK_CTRL
+    from gym_pybullet_drones_tpu.runtime.rollout import (
+        batch_reset,
+        make_batched_step,
+        rollout,
+    )
+
+    cfg = AviaryConfig(task=TASK_CTRL)
+    params = envbase.build_params(cfg)
+    ctrl = envbase.build_ctrl_params(cfg)
+    step = make_batched_step(cfg, params, ctrl,
+                             jnp.zeros((1, 3), cfg.jnp_dtype),
+                             auto_reset=False)
+    state = batch_reset(cfg, params, 2)
+    obs0 = jax.vmap(lambda s: envbase.compute_obs(cfg, s))(state)
+    act = jnp.full((2, 1, 4), float(params.hover_rpm), cfg.jnp_dtype)
+
+    def policy(pstate, obs, key):
+        return act, key  # carry the step's key out as policy state
+
+    key0 = jnp.zeros((2,), jnp.uint32)
+    (_, k1, _), _ = rollout(step, policy, state, key0, obs0, num_steps=1)
+    (_, k2, _), _ = rollout(step, policy, state, key0, obs0, num_steps=2)
+    assert not np.array_equal(np.asarray(k1), np.asarray(k2))
+    assert not np.array_equal(np.asarray(k1), np.zeros(2))  # not the old 0-key

@@ -101,3 +101,20 @@ def test_gui_live_viewer_headless_captures_frames(tmp_path):
     assert frames[0].ndim == 3 and frames[0].shape[2] == 3
     env.close()
     assert env._viewer is None
+
+
+def test_float_frames_rescale_not_black(tmp_path):
+    """Float frames in matplotlib's [0,1] convention must encode as real
+    intensities, not clip to 0/1-of-255 (a black video)."""
+    import numpy as np
+
+    from gym_pybullet_drones_tpu.utils.video import _jpeg_bytes
+
+    frame = np.full((32, 32, 3), 0.5, dtype=np.float64)
+    data = _jpeg_bytes(frame)
+    from io import BytesIO
+
+    from PIL import Image
+
+    arr = np.asarray(Image.open(BytesIO(data)))
+    assert 100 < arr.mean() < 155, arr.mean()  # ~127, not ~0

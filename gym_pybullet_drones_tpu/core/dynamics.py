@@ -122,6 +122,7 @@ def substep_pyb(
     contact: bool = True,
     renormalize_quat: bool = True,
     dw_src_pos=None,
+    dw_force_body_z=None,
     collide: bool = False,
     obstacles=None,
 ) -> KinState:
@@ -159,6 +160,12 @@ def substep_pyb(
         dw_mag = aero.downwash_forces_body_z(state.pos, params,
                                              pos_above=dw_src_pos)  # (..., N)
         force_world = force_world + R[..., :, 2] * dw_mag[..., None]
+    if dw_force_body_z is not None:
+        # Externally-computed wake magnitude (the tiled Pallas pair kernels,
+        # runtime/swarm.py / ops/swarm_soa.py) enters the force assembly
+        # exactly like the dense dw term above — same accel, and the same
+        # accel_z sign in the resting-contact `pressed` test below.
+        force_world = force_world + R[..., :, 2] * dw_force_body_z[..., None]
 
     accel = force_world / params.m
     accel = accel.at[..., 2].add(-params.g)

@@ -10,8 +10,9 @@ kernels through their column-level entry points — no (N,3) packing anywhere
 in the loop.
 
 Semantics match `make_big_swarm_physics` exactly:
-  * wake magnitude from pre-substep positions, injected as a body-z velocity
-    increment (Euler increments of COM forces commute);
+  * wake magnitude from pre-substep positions, entering the substep's force
+    assembly as a body-z COM force (``fz_body``) exactly like the dense dw
+    term — same accel and resting-contact semantics;
   * with contact, substep k's resolve and substep k+1's wake share one fused
     pair pass (`ops/interact_pallas`), n+1 passes per control step.
 PYB_DW only (the coupled-swarm mode); drag/ground-effect variants use the
@@ -77,7 +78,6 @@ def make_swarm_step_soa(params: DroneParams, dt, n_substeps: int,
     from gym_pybullet_drones_tpu.ops.collide_pallas import make_collide_pallas
 
     c = physics_consts(params)
-    m_ = c["m_"]
     dw_fn = make_downwash_pallas(params, interpret=interpret, z_sort=z_sort)
     interact_fn = (make_interact_pallas(params, interpret=interpret,
                                         z_sort=z_sort)
@@ -94,13 +94,10 @@ def make_swarm_step_soa(params: DroneParams, dt, n_substeps: int,
 
         mag = dw_fn.cols(px, py, pz)
         for k in range(n_substeps):
-            # wake force along body z as a velocity increment: dv = R_z*mag/m*dt
-            _, _, r02, _, _, r12, _, _, r22 = _rot_cols_from_quat(qx, qy, qz, qw)
-            coef = mag / m_ * dt
-            vx, vy, vz = vx + r02 * coef, vy + r12 * coef, vz + r22 * coef
             (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = (
                 physics_substep_soa(c, dt, px, py, pz, qx, qy, qz, qw,
-                                    vx, vy, vz, wx, wy, wz, rpm_cols))
+                                    vx, vy, vz, wx, wy, wz, rpm_cols,
+                                    fz_body=mag))
             if collisions:
                 if k < n_substeps - 1:
                     mag, dp, dv = interact_fn.cols(px, py, pz, vx, vy, vz)

@@ -29,8 +29,8 @@ def atan(x):
     mid = (~big) & (ax > _TAN_PI_8)
 
     # Range-reduced argument and additive constant per region
-    safe_ax = jnp.where(big, ax, 1.0)
-    x_big = -1.0 / jnp.where(safe_ax == 0.0, 1.0, safe_ax)
+    safe_ax = jnp.where(big, ax, 1.0)  # > 2.414 where big, else exactly 1.0
+    x_big = -1.0 / safe_ax
     x_mid = (ax - 1.0) / (ax + 1.0)
     xr = jnp.where(big, x_big, jnp.where(mid, x_mid, ax))
     y0 = jnp.where(big, _PI_2, jnp.where(mid, _PI_4, 0.0))

@@ -68,14 +68,24 @@ def soa_from_state(state) -> Dict[str, jax.Array]:
 
 
 def soa_to_state(s: Dict[str, jax.Array], template):
-    """dict of (E,) arrays -> AviaryState with the template's structure."""
+    """dict of (E,) arrays -> AviaryState with the template's structure.
+
+    rpy_rates follows `core/dynamics.substep_pyb`: R(quat)^T @ ang_v,
+    recomputed from the ADVANCED columns (not the template's stale value).
+    """
     pack = lambda ks: jnp.stack([s[k] for k in ks], -1)[:, None, :]
+    r00, r01, r02, r10, r11, r12, r20, r21, r22 = _rot_cols_from_quat(
+        s["qx"], s["qy"], s["qz"], s["qw"])
+    wx, wy, wz = s["wx"], s["wy"], s["wz"]
+    rpy_rates = jnp.stack([r00 * wx + r10 * wy + r20 * wz,
+                           r01 * wx + r11 * wy + r21 * wz,
+                           r02 * wx + r12 * wy + r22 * wz], -1)[:, None, :]
     kin = template.kin.replace(
         pos=pack(("px", "py", "pz")),
         quat=pack(("qx", "qy", "qz", "qw")),
         vel=pack(("vx", "vy", "vz")),
         ang_v=pack(("wx", "wy", "wz")),
-        rpy_rates=template.kin.rpy_rates,
+        rpy_rates=rpy_rates,
     )
     return template.replace(
         kin=kin,
@@ -132,12 +142,16 @@ def physics_consts(dp: DroneParams) -> Dict[str, object]:
 
 def physics_substep_soa(c: Dict[str, object], pyb_dt,
                         px, py, pz, qx, qy, qz, qw,
-                        vx, vy, vz, wx, wy, wz, rpm):
+                        vx, vy, vz, wx, wy, wz, rpm, fz_body=None):
     """One Physics.PYB substep over SoA columns (the exact op sequence of
     `core/dynamics.substep_pyb` without aero terms): thrust at prop offsets,
     yaw reaction torque, Newton-Euler, axis-angle quat update, plane clamp.
-    ``rpm`` is a list of four (E,) motor-speed columns. Shared by the
-    velocity-env hot path and the SoA coupled-swarm step (ops/swarm_soa.py).
+    ``rpm`` is a list of four (E,) motor-speed columns. ``fz_body`` is an
+    optional externally-computed body-z COM force column (the Pallas wake
+    sum, ops/swarm_soa.py) entering the force assembly exactly like
+    `substep_pyb`'s dense dw term — torque-free, and included in the accel
+    used by the resting-contact test. Shared by the velocity-env hot path
+    and the SoA coupled-swarm step.
     """
     kf, km, yaw_sign = c["kf"], c["km"], c["yaw_sign"]
     m_, g_ = c["m_"], c["g_"]
@@ -150,6 +164,8 @@ def physics_substep_soa(c: Dict[str, object], pyb_dt,
     tau_x = f[0] * offs[0][1] + f[1] * offs[1][1] + f[2] * offs[2][1] + f[3] * offs[3][1]
     tau_y = -(f[0] * offs[0][0] + f[1] * offs[1][0] + f[2] * offs[2][0] + f[3] * offs[3][0])
     fsum = f[0] + f[1] + f[2] + f[3]
+    if fz_body is not None:
+        fsum = fsum + fz_body
     axw, ayw, azw = r02 * fsum / m_, r12 * fsum / m_, r22 * fsum / m_ - g_
     nvx, nvy, nvz = vx + pyb_dt * axw, vy + pyb_dt * ayw, vz + pyb_dt * azw
 

@@ -311,7 +311,10 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         traj = traj._replace(
             reward=traj.reward
             + ppo_cfg.gamma * final_value * trunc_only.astype(final_value.dtype))
-        _, _, last_value = policy_sample(runner.params, obs, rng)
+        # Only the value head is needed for the GAE tail: a direct apply
+        # avoids sampling dead Gaussian noise with the carried `rng` (which
+        # is re-split at the top of the next train_step — key reuse).
+        _, _, last_value = network.apply(runner.params, obs)
         advantages, returns = compute_gae(traj, last_value)
 
         # Flatten (T, E, ...) -> (T*E, ...)

@@ -94,8 +94,12 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
         # X/Y are jit ARGUMENTS, not closure captures: a closed-over dataset
         # becomes an embedded constant in the compiled program — hundreds of
         # MB once DAgger aggregates, which overflows remote-compile requests.
-        @jax.jit
-        def bc_step(params, opt, key, X, Y):
+        # Updates run as scanned CHUNKS, not one dispatch per step: over the
+        # TPU tunnel each dispatch costs ~30 ms (docs/PERF.md), so 20k
+        # individual bc_step calls would be ~10 min of pure launch latency
+        # for a 64-wide-MLP workload; a handful of scans removes all of it.
+        def bc_step(carry, key, X, Y):
+            params, opt = carry
             idx = jax.random.randint(key, (bc_batch,), 0, X.shape[0])
             xb, yb = X[idx], Y[idx]
 
@@ -105,14 +109,24 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             upd, opt = tx.update(grads, opt, params)
-            return optax.apply_updates(params, upd), opt, loss
+            return (optax.apply_updates(params, upd), opt), loss
 
-        loss = None
-        for i in range(n_steps):
+        @jax.jit
+        def bc_chunk(params, opt, keys, X, Y):
+            (params, opt), losses = jax.lax.scan(
+                lambda c, k: bc_step(c, k, X, Y), (params, opt), keys)
+            return params, opt, losses[-1]
+
+        chunk = 2000
+        done = 0
+        while done < n_steps:
+            n = min(chunk, n_steps - done)
             rng, k = jax.random.split(rng)
-            params, opt, loss = bc_step(params, opt, k, X, Y)
-            if verbose and (i + 1) % 2000 == 0:
-                print(f"[bc] step {i+1}/{n_steps} mse {float(loss):.5f}",
+            params, opt, loss = bc_chunk(params, opt,
+                                         jax.random.split(k, n), X, Y)
+            done += n
+            if verbose:
+                print(f"[bc] step {done}/{n_steps} mse {float(loss):.5f}",
                       flush=True)
         return params, rng
 

@@ -33,18 +33,25 @@ def _unkey(tree):
 
 
 def save_checkpoint(path: str, tree: Any, step: int = 0) -> str:
-    """Write `tree` under `path/step_<step>`; returns the checkpoint dir."""
+    """Write `tree` under `path/step_<step>`; returns the checkpoint dir.
+
+    Leaves are handed to orbax AS-IS (after PRNG-key unwrapping): orbax
+    serializes `jax.Array`s through their shardings, so arrays spanning
+    non-addressable devices (multi-process meshes, `mesh.init_distributed`)
+    save correctly — every process must call this collectively, as usual for
+    a distributed checkpoint. Forcing leaves through `np.asarray` here would
+    raise on exactly those arrays."""
     path = os.path.abspath(path)
     os.makedirs(path, exist_ok=True)
     ckpt_dir = os.path.join(path, f"step_{step}")
-    tree = jax.tree.map(np.asarray, _unkey(tree))
+    tree = _unkey(tree)
     if _HAS_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(ckpt_dir, tree, force=True)
     else:
         os.makedirs(ckpt_dir, exist_ok=True)
         with open(os.path.join(ckpt_dir, "tree.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(tree))
+            f.write(serialization.to_bytes(jax.tree.map(np.asarray, tree)))
     return ckpt_dir
 
 
@@ -60,7 +67,11 @@ def restore_checkpoint(path: str, template: Any, step: int = None) -> Any:
     flat_template = _unkey(template)
     if _HAS_ORBAX:
         ckptr = ocp.PyTreeCheckpointer()
-        restored = ckptr.restore(ckpt_dir, item=jax.tree.map(np.asarray, flat_template))
+        # Restore jax.Array leaves straight onto the template's shardings
+        # (multi-process-safe; no host-side np materialization of the tree).
+        restore_args = ocp.checkpoint_utils.construct_restore_args(flat_template)
+        restored = ckptr.restore(ckpt_dir, item=flat_template,
+                                 restore_args=restore_args)
     else:
         with open(os.path.join(ckpt_dir, "tree.msgpack"), "rb") as f:
             restored = serialization.from_bytes(flat_template, f.read())

@@ -103,11 +103,6 @@ def _put_tree(tree, shardings):
     return jax.tree.unflatten(treedef, out)
 
 
-def _put(x, sharding):
-    """Single-array form of `_put_tree`."""
-    return _put_tree(x, sharding)
-
-
 def shard_env_batch(mesh: Mesh, tree, axis: str = "env"):
     """Place a batched pytree (leading env axis) onto the mesh, sharded."""
     return _put_tree(tree, env_sharding(mesh, axis))

@@ -100,8 +100,12 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
     `auto_reset=True`, envs that finish (terminated | truncated) are replaced
     by the initial state and the returned obs is the fresh episode's first
     obs — the VecEnv convention the reference relies on through SB3
-    (learn.py:83-95). With `reset_on_nan`, a non-finite env is truncated and
-    reset in place of propagating NaNs through the batch.
+    (learn.py:83-95). With `reset_on_nan`, a non-finite env is TERMINATED
+    (not truncated) and reset in place of propagating NaNs through the batch:
+    termination ends the return, so a policy that blows up the sim eats the
+    full loss of future reward, whereas a truncation would hand it the
+    time-limit bootstrap gamma*V(obs) (rl/ppo.py) and make divergence nearly
+    reward-neutral in the GAE targets.
     """
     if params_are_batched(params):
         # Domain randomization (core.params.randomize_params): each env steps
@@ -120,7 +124,7 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
         new_state, obs, reward, term, trunc = vstep(state, action)
         if reset_on_nan:
             unhealthy = ~env_health(new_state)
-            trunc = trunc | unhealthy
+            term = term | unhealthy
             reward = jnp.where(unhealthy, jnp.zeros_like(reward), reward)
             # The NaN state's observation must not leak anywhere — not even as
             # final_obs, which PPO feeds through the value network for the

@@ -14,8 +14,6 @@ shard-local, so the collective volume per step is `n_substeps * N * 3`
 floats.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
@@ -24,7 +22,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gym_pybullet_drones_tpu.core.collisions import resolve_drone_collisions
 from gym_pybullet_drones_tpu.core.dynamics import _PYB_FLAGS, KinState, substep_pyb
 from gym_pybullet_drones_tpu.core.params import DroneParams
-from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
 from gym_pybullet_drones_tpu.envs.spec import Physics
 
 
@@ -52,9 +49,10 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
     `ops/downwash_pallas` / `ops/collide_pallas`) instead of dense
     (N_local, N_global) tensors. The dense form needs ~6 GB of pair
     intermediates per chip at 65k drones / 8 chips; the tiled form is
-    O(N_global + tile), so coupled 100k+ fleets shard over a mesh. Wake is
-    injected as a pre-substep velocity increment (Euler increments of COM
-    forces commute — same construction as `make_big_swarm_physics`);
+    O(N_global + tile), so coupled 100k+ fleets shard over a mesh. The
+    Pallas wake magnitude feeds `substep_pyb(dw_force_body_z=...)`, entering
+    the force assembly exactly like the dense dw term (same accel, same
+    resting-contact test — same construction as `make_big_swarm_physics`);
     ``z_sort`` bound-culling applies per shard (see the kernel docstrings).
     """
     flags = dict(_PYB_FLAGS[physics])
@@ -71,15 +69,13 @@ def make_sharded_swarm_physics(mesh: Mesh, params: DroneParams, dt,
 
         def local_step(kin: KinState, rpm, last_rpm):
             for _ in range(n_substeps):
+                mag = None
                 if use_dw:
                     gpos = jax.lax.all_gather(kin.pos, axis, axis=0,
                                               tiled=True)
                     mag = dw_fn(kin.pos, src_pos=gpos)
-                    R = quat_to_matrix(kin.quat)
-                    dv = R[..., :, 2] * (mag / params.m * dt)[..., None]
-                    kin = kin.replace(vel=kin.vel + dv)
                 kin = substep_pyb(kin, rpm, last_rpm, params, dt,
-                                  dw=False, **flags)
+                                  dw=False, dw_force_body_z=mag, **flags)
                 if collisions:
                     gpos = jax.lax.all_gather(kin.pos, axis, axis=0,
                                               tiled=True)
@@ -145,8 +141,9 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     intermediates — fine to ~8k drones, prohibitive beyond. This variant
     computes the wake sum with `ops/downwash_pallas` (O(N) memory, measured
     70 Gpairs/s at 65k drones) and feeds it into the same substep pipeline
-    via a zero-extra-cost trick: the substep's own dw term is disabled and
-    the Pallas force is injected as a body-z force alongside. With
+    through `substep_pyb(dw_force_body_z=...)`: the substep's own dw term is
+    disabled and the Pallas magnitude joins the force assembly in its place
+    (identical accel and resting-contact semantics to the dense term). With
     ``collisions`` the drone-drone contact resolve runs through the analogous
     tiled kernel (`ops/collide_pallas`) after each substep — same order as
     the dense pipeline. ``interpret`` runs the Pallas kernels in interpreter
@@ -188,11 +185,8 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
         def step(kin: KinState, rpm, last_rpm):
             mag = dw_fn(kin.pos)  # wake for the first substep
             for k in range(n_substeps):
-                R = quat_to_matrix(kin.quat)
-                dv = R[..., :, 2] * (mag / params.m * dt)[..., None]
-                kin = kin.replace(vel=kin.vel + dv)
                 kin = substep_pyb(kin, rpm, last_rpm, params, dt,
-                                  dw=False, **flags)
+                                  dw=False, dw_force_body_z=mag, **flags)
                 if k < n_substeps - 1:
                     mag, dpos, dvel = interact_fn(kin.pos, kin.vel)
                 else:
@@ -206,16 +200,11 @@ def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
     @jax.jit
     def step(kin: KinState, rpm, last_rpm):
         for _ in range(n_substeps):
-            if use_dw:
-                # The pair sum is exactly what dw_fn computes; apply it
-                # directly as a velocity increment like substep's own dw
-                # force: F = R_z * mag; a = F/m.
-                mag = dw_fn(kin.pos)  # (N,)
-                R = quat_to_matrix(kin.quat)
-                dv = R[..., :, 2] * (mag / params.m * dt)[..., None]
-                kin = kin.replace(vel=kin.vel + dv)
+            # The pair sum is exactly what the dense dw term computes; it
+            # joins the substep's force assembly via dw_force_body_z.
+            mag = dw_fn(kin.pos) if use_dw else None  # (N,)
             kin = substep_pyb(kin, rpm, last_rpm, params, dt,
-                              dw=False, **flags)
+                              dw=False, dw_force_body_z=mag, **flags)
             if collide_fn is not None:
                 new_pos, new_vel = collide_fn(kin.pos, kin.vel)
                 kin = kin.replace(pos=new_pos, vel=new_vel)

@@ -9,11 +9,16 @@ Each of 2 processes contributes 2 virtual CPU devices -> a global 4-device
   2. runs ONE full PPO train step with the env axis of the runner state
      sharded over the global mesh (params/opt replicated, gradients
      psum-reduced by XLA's SPMD partitioner),
+  3. (when given a 5th arg) saves the globally-sharded runner through
+     runtime/checkpoint.py COLLECTIVELY from both processes and restores it
+     onto the same shardings — the multi-process checkpoint path that a
+     host-side np.asarray of non-addressable arrays would crash,
 
-and writes digests of both results to a JSON file for the parent to compare
+and writes digests of the results to a JSON file for the parent to compare
 across workers (must match exactly — same program, same global data).
 
 Usage: python distributed_worker.py <proc_id> <num_procs> <port> <out.json>
+       [ckpt_dir]
 """
 
 import json
@@ -135,6 +140,22 @@ results["ppo_mean_reward"] = mr
 results["ppo_param_digest"] = float(np.sum(lw))
 results["num_global_devices"] = len(jax.devices())
 results["process_id"] = proc_id
+
+# ---- 3. multi-process checkpoint round-trip (shared tmp dir, collective)
+if len(sys.argv) > 5:
+    from gym_pybullet_drones_tpu.runtime.checkpoint import (  # noqa: E402
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    save_checkpoint(sys.argv[5], runner2, step=1)
+    restored = restore_checkpoint(sys.argv[5], runner2, step=1)
+    rw = np.asarray(jax.device_get(jax.tree.leaves(restored.params)[0]))
+    results["ckpt_param_digest"] = float(np.sum(rw))
+    # env leaves come back on their (non-addressable) global sharding
+    pos = restored.env_state.kin.pos
+    results["ckpt_env_sharded"] = bool(pos.sharding.is_equivalent_to(
+        runner2.env_state.kin.pos.sharding, pos.ndim))
 
 with open(out_path, "w") as f:
     json.dump(results, f)

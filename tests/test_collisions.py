@@ -379,3 +379,64 @@ def test_sharded_pallas_swarm_matches_dense():
                                np.asarray(dense_kin.pos), atol=1e-4)
     np.testing.assert_allclose(np.asarray(out_sh.vel),
                                np.asarray(dense_kin.vel), atol=1e-3)
+
+
+def test_grounded_drone_under_wake_pressed_parity():
+    """The resting-contact `pressed` test must see the wake force in every
+    wake path (dense dw term and the Pallas `dw_force_body_z` injection,
+    runtime/swarm.py / ops/swarm_soa.py).
+
+    A grounded drone spinning at 1 rad/s runs motors slightly above hover
+    (net accel_z > 0 alone) while a neighbor 0.5 m overhead presses it down
+    with ~0.30 N of wake (> its own excess thrust): net accel_z <= 0, so the
+    dense `substep_pyb` kills the residual spin (dynamics.py pressed test).
+    Before the dw_force_body_z fix the Pallas-injection paths computed the
+    pressed test from thrust alone and kept the drone spinning forever.
+    Geometry: 2.0 m cell spacing (wake Gaussian across cells ~e^-4400, zero)
+    and a clean 0.5 m dz inside each cell (well out of the ill-conditioned
+    near-coincident regime, CLAUDE.md)."""
+    from gym_pybullet_drones_tpu.ops.swarm_soa import (
+        make_swarm_step_soa,
+        swarm_soa_from_kin,
+        swarm_soa_to_kin,
+    )
+    from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
+
+    params = drone_params(DroneModel.CF2X)
+    z_min = float(params.collision_h) / 2.0 - float(params.collision_z_offset)
+    cells = 256  # N = 512, one full source block of the pair kernels
+    gx = (np.arange(cells) % 16) * 2.0
+    gy = (np.arange(cells) // 16) * 2.0
+    pos = np.zeros((2 * cells, 3), np.float32)
+    pos[0::2] = np.stack([gx, gy, np.full(cells, z_min)], -1)  # grounded
+    pos[1::2] = np.stack([gx, gy, np.full(cells, z_min + 0.5)], -1)  # source
+    kin = init_kin_state(jnp.asarray(pos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (2 * cells, 1)))
+    ang_v = np.zeros((2 * cells, 3), np.float32)
+    ang_v[0::2, 2] = 1.0  # residual spin on the grounded drones
+    kin = kin.replace(ang_v=jnp.asarray(ang_v))
+    rpm = np.full((2 * cells, 4), float(params.hover_rpm), np.float32)
+    rpm[0::2] *= 1.02  # excess thrust ~0.011 N << wake ~0.30 N
+    rpm = jnp.asarray(rpm)
+
+    dense, _ = step_physics(kin, rpm, rpm, params, 1 / 240, 5,
+                            Physics.PYB_DW, collisions=False)
+    assert np.all(np.abs(np.asarray(dense.ang_v[0::2])) == 0.0), \
+        "dense pressed test must kill the grounded spin"
+
+    big = make_big_swarm_physics(params, 1 / 240, 5, Physics.PYB_DW,
+                                 interpret=True)
+    fused, _ = big(kin, rpm, rpm)
+    np.testing.assert_allclose(np.asarray(fused.ang_v),
+                               np.asarray(dense.ang_v), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fused.pos), np.asarray(dense.pos),
+                               atol=1e-5)
+
+    soa_step = jax.jit(make_swarm_step_soa(params, 1 / 240, 5,
+                                           interpret=True))
+    rpm_cols = [rpm[:, m] for m in range(4)]
+    out = swarm_soa_to_kin(soa_step(swarm_soa_from_kin(kin), rpm_cols), kin)
+    np.testing.assert_allclose(np.asarray(out.ang_v),
+                               np.asarray(dense.ang_v), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.pos), np.asarray(dense.pos),
+                               atol=1e-5)

@@ -6,7 +6,9 @@ localhost coordinator (CPU backend, 2 virtual devices each -> one global
 
   * sharded interacting-swarm physics — the downwash/contact all_gather
     rides the distributed backend between processes;
-  * one full PPO train step with the env axis sharded over the global mesh.
+  * one full PPO train step with the env axis sharded over the global mesh;
+  * a collective orbax checkpoint save/restore of the globally-sharded
+    runner (runtime/checkpoint.py's multi-process path).
 
 Both workers must produce identical digests (same SPMD program over the same
 global data), and the swarm result must agree with a single-process run of
@@ -42,7 +44,7 @@ def test_two_process_distributed_swarm_and_ppo(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.join(HERE, "distributed_worker.py"),
-             str(i), "2", str(port), outs[i]],
+             str(i), "2", str(port), outs[i], str(tmp_path / "ckpt")],
             env=env, cwd=os.path.dirname(HERE),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)
@@ -71,6 +73,11 @@ def test_two_process_distributed_swarm_and_ppo(tmp_path):
     # workers, and within f32 round-off of the dense sharded pipeline
     assert r0["swarm_pallas_pos_digest"] == r1["swarm_pallas_pos_digest"]
     assert r0["swarm_pallas_vs_dense_max"] < 1e-4, r0
+    # Collective checkpoint of the globally-sharded runner: round-trips to
+    # the same params digest on both workers, env leaves stay sharded
+    assert r0["ckpt_param_digest"] == r0["ppo_param_digest"]
+    assert r0["ckpt_param_digest"] == r1["ckpt_param_digest"]
+    assert r0["ckpt_env_sharded"] and r1["ckpt_env_sharded"]
 
     # Cross-check the swarm against a single-process dense run (this pytest
     # process has its own 8-device CPU config from conftest)

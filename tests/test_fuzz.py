@@ -1,7 +1,7 @@
 """Stability fuzzing: extreme random actions must never leak NaNs to obs.
 
 The reference has no such guard (a diverged PyBullet sim silently poisons the
-run, SURVEY §5); here `reset_on_nan` in the batched step must truncate and
+run, SURVEY §5); here `reset_on_nan` in the batched step must terminate and
 auto-reset any env whose state leaves float range, so every observation that
 reaches a learner is finite.
 """

@@ -60,8 +60,10 @@ def test_nan_health_mask_resets_poisoned_env():
     state = state.replace(kin=state.kin.replace(pos=bad_pos))
     assert list(np.asarray(env_health(state))) == [True, False, True]
     new_state, out = step(state, jnp.zeros((3, 1, 1)))
-    # The poisoned env was truncated and auto-reset to a finite state
-    assert bool(out.truncated[1])
+    # The poisoned env was TERMINATED (ends the return — no time-limit value
+    # bootstrap for a sim blowup, rl/ppo.py) and auto-reset to a finite state
+    assert bool(out.terminated[1])
+    assert not bool(out.truncated[1])
     assert np.all(np.isfinite(np.asarray(new_state.kin.pos)))
     assert np.all(np.isfinite(np.asarray(out.obs)))
 

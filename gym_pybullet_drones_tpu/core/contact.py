@@ -1,0 +1,472 @@
+"""Sequential-impulse rigid-body contact solver (Bullet-faithful mode).
+
+The reference gets every contact regime — resting, impact, sliding with
+friction, tumbling, drone-drone bumps — from Bullet's velocity-level LCP pass
+inside ``p.stepSimulation`` (reference BaseAviary.py:370; the collision
+cylinder is cf2x.urdf:31-36, the plane is pybullet_data's plane.urdf). This
+module is the TPU-native replacement for that pass, selectable alongside the
+fast plane clamp via ``AviaryConfig.contact_mode="impulse"``.
+
+What Bullet's btSequentialImpulseConstraintSolver does per step, replicated
+here (see docs/PYB_DERIVATION.md §5 for the full derivation):
+
+* Contacts are detected on the PRE-integration pose; velocity impulses are
+  solved on the already force-integrated velocities; positions then integrate
+  with the corrected velocities (btDiscreteDynamicsWorld order:
+  predictUnconstraintMotion -> collision detection -> solveConstraints ->
+  integrateTransforms).
+* Speculative contacts: a contact with positive separation ``d`` (within the
+  breaking threshold, Bullet's gContactBreakingThreshold = 0.02) constrains
+  the approach speed to at most ``d/dt`` — a falling body stops exactly at the
+  surface instead of tunnelling (setupContactConstraint's
+  ``velocityError -= penetration/dt`` branch for positive distance).
+* Penetrating contacts get a Baumgarte separating bias ``erp·pen/dt`` after a
+  slop allowance (Bullet's shallow-penetration branch; the split-impulse path
+  only engages beyond 4 cm penetration, unreachable at 240 Hz substeps —
+  documented in PYB_DERIVATION.md).
+* Restitution 0 (URDF default), Coulomb friction box-clamped per tangent
+  direction against ``mu * lambda_n`` (Bullet box-clamps too), friction rows
+  solved after all normal rows within each Gauss-Seidel iteration (Bullet's
+  default, SOLVER_INTERLEAVE_CONTACT_AND_FRICTION off).
+* Friction coefficients combine multiplicatively (btManifoldResult::
+  calculateCombinedFriction): plane.urdf ships 1.0, the drone URDFs default to
+  0.5 -> mu_plane = 0.5; drone-drone and drone-obstacle pairs = 0.25.
+
+Documented approximations vs Bullet (bounds in PYB_DERIVATION.md §5):
+
+* The collision cylinder is sampled at ``RIM_SAMPLES`` points per rim instead
+  of Bullet's incremental persistent manifold (<= 4 cached support points).
+  More simultaneous points, same resting/tumbling statics; rolling-contact
+  positions differ within one rim-segment arc (2π r / RIM_SAMPLES ≈ 4.7 cm).
+* Two fixed orthogonal friction directions per contact instead of Bullet's
+  single direction along the initial slip velocity (a *better* cone cover).
+* Drone-drone / drone-obstacle shapes are the circumscribing spheres of the
+  collision cylinder footprint (round-2 convention, core/collisions.py).
+* No warm starting across substeps: cold-start convergence is covered by the
+  iteration count (``n_iter=10``, Bullet's default m_numIterations).
+
+Everything is shaped for XLA: contact sets are static-size and masked, the
+Gauss-Seidel sweeps are ``lax.scan`` chains over the contact axis (sequential
+within a body — that is the algorithm), and all drones advance in parallel
+wherever the physics decouples them (plane and obstacle rows). Pair rows use
+the sequential scan up to ``PAIR_GS_MAX_N`` drones and a masked Jacobi
+fallback beyond (swarm scale), trading Bullet's strict sweep order for
+throughput — deviation bounded by the same argument as core/collisions.py.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
+
+# Solver constants (Bullet defaults; see module docstring for provenance).
+N_ITER = 10          # btContactSolverInfo::m_numIterations
+ERP = 0.2            # contact ERP (m_erp2)
+SLOP = 0.001         # linear slop: penetration allowance before correction
+BREAKING = 0.02      # gContactBreakingThreshold: contact generation distance
+MU_PLANE = 0.5       # 1.0 (plane.urdf) x 0.5 (drone URDF default)
+MU_PAIR = 0.25       # 0.5 x 0.5
+RIM_SAMPLES = 8      # cylinder rim sample points per rim (x2 rims)
+PAIR_GS_MAX_N = 16   # fleets above this solve pair rows Jacobi-style
+
+
+def _world_inv_inertia(R, J_inv):
+    """I_w^-1 = R J^-1 R^T for (..., N, 3, 3) rotations."""
+    return jnp.einsum("...ij,jk,...lk->...il", R, J_inv, R)
+
+
+def _target_vn(d, dt, erp, slop):
+    """Per-contact normal-velocity target (Bullet setupContactConstraint).
+
+    Separated (d_eff > 0): allow approach up to the gap per step (speculative
+    contact). Penetrating: Baumgarte separating bias erp*pen/dt.
+    """
+    d_eff = d + slop
+    return jnp.where(d_eff > 0.0, -d_eff / dt, -erp * d_eff / dt)
+
+
+def _plane_rim_points(params, dtype):
+    """(2*RIM_SAMPLES, 3) body-frame sample points on the collision-cylinder
+    rims (bottom rim at z_off - h/2, top rim at z_off + h/2)."""
+    th = 2.0 * np.pi * np.arange(RIM_SAMPLES) / RIM_SAMPLES
+    unit = jnp.asarray(np.stack([np.cos(th), np.sin(th)], -1), dtype)  # (S, 2)
+    xy = unit * params.collision_r
+    zs = []
+    for s in (-1.0, 1.0):
+        z = jnp.full((RIM_SAMPLES, 1),
+                     params.collision_z_offset + s * params.collision_h / 2.0,
+                     dtype)
+        zs.append(jnp.concatenate([xy, z], -1))
+    return jnp.concatenate(zs, 0)  # (C, 3)
+
+
+def _orthonormal_tangents(n):
+    """Two unit tangents orthogonal to n (..., 3); robust near n = ±z."""
+    z = jnp.zeros_like(n)
+    ref = jnp.where(jnp.abs(n[..., 2:3]) < 0.9,
+                    z.at[..., 2].set(1.0), z.at[..., 0].set(1.0))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+def solve_contacts(
+    pos,
+    quat,
+    vel,
+    ang_v,
+    params,
+    dt,
+    *,
+    drone_drone=False,
+    other_pos=None,
+    other_vel=None,
+    obstacles=None,
+    n_iter=N_ITER,
+    erp=ERP,
+    slop=SLOP,
+    breaking=BREAKING,
+    mu_plane=MU_PLANE,
+    mu_pair=MU_PAIR,
+):
+    """One Bullet-style sequential-impulse pass; returns (vel', ang_v').
+
+    pos/quat/vel/ang_v: (..., N, dim) PRE-integration pose with the
+    force-integrated (unconstrained) velocities. ``obstacles`` is an
+    ``ObstacleSet`` (core/collisions.py) of static spheres. ``other_pos`` /
+    ``other_vel`` optionally supply cross-shard partner drones for the pair
+    rows (sharded swarms; Jacobi mode only, the partners' own velocities are
+    corrected on their home shard).
+    """
+    dtype = pos.dtype
+    n_drones = pos.shape[-2]
+    R = quat_to_matrix(quat)
+    inv_m = 1.0 / params.m
+    I_inv_w = _world_inv_inertia(R, params.J_inv)  # (..., N, 3, 3)
+
+    # ---- plane contact rows (cylinder rim samples vs z = 0) ---------------
+    pts_body = _plane_rim_points(params, dtype)  # (C, 3)
+    r_pl = jnp.einsum("...nij,cj->...nci", R, pts_body)  # lever arms (...,N,C,3)
+    d_pl = pos[..., 2][..., None] + r_pl[..., 2]  # point height above plane
+    active_pl = (d_pl < breaking).astype(dtype)
+    target_pl = _target_vn(d_pl, dt, erp, slop)
+    # Angular jacobians for n = z, t1 = x, t2 = y (constant world axes).
+    rxn = jnp.stack([r_pl[..., 1], -r_pl[..., 0], jnp.zeros_like(d_pl)], -1)
+    rxt1 = jnp.stack([jnp.zeros_like(d_pl), r_pl[..., 2], -r_pl[..., 1]], -1)
+    rxt2 = jnp.stack([-r_pl[..., 2], jnp.zeros_like(d_pl), r_pl[..., 0]], -1)
+    Jn = jnp.einsum("...nij,...ncj->...nci", I_inv_w, rxn)
+    Jt1 = jnp.einsum("...nij,...ncj->...nci", I_inv_w, rxt1)
+    Jt2 = jnp.einsum("...nij,...ncj->...nci", I_inv_w, rxt2)
+    kn_inv_pl = 1.0 / (inv_m + jnp.einsum("...ci,...ci->...c", rxn, Jn))
+    kt1_inv_pl = 1.0 / (inv_m + jnp.einsum("...ci,...ci->...c", rxt1, Jt1))
+    kt2_inv_pl = 1.0 / (inv_m + jnp.einsum("...ci,...ci->...c", rxt2, Jt2))
+
+    def cm(a):  # contact axis (-2 for scalars-per-contact) to scan-major
+        return jnp.moveaxis(a, -1, 0)
+
+    def cmv(a):  # vector-per-contact (..., N, C, 3) -> (C, ..., N, 3)
+        return jnp.moveaxis(a, -2, 0)
+
+    plane_xs_n = (cmv(r_pl), cmv(Jn), cm(kn_inv_pl), cm(target_pl),
+                  cm(active_pl))
+    plane_xs_f = (cmv(r_pl), cmv(Jt1), cmv(Jt2), cm(kt1_inv_pl),
+                  cm(kt2_inv_pl), cm(active_pl))
+
+    def plane_normal_sweep(vel, ang_v, lam):
+        def step(carry, xs):
+            vel, ang_v = carry
+            r, Jn_c, kinv, tgt, act, lam_c = xs
+            u_n = vel[..., 2] + ang_v[..., 0] * r[..., 1] - ang_v[..., 1] * r[..., 0]
+            dlam = (tgt - u_n) * kinv * act
+            new_lam = jnp.maximum(lam_c + dlam, 0.0)
+            applied = new_lam - lam_c
+            vel = vel.at[..., 2].add(applied * inv_m)
+            ang_v = ang_v + applied[..., None] * Jn_c
+            return (vel, ang_v), new_lam
+
+        (vel, ang_v), lam = lax.scan(step, (vel, ang_v), plane_xs_n + (lam,))
+        return vel, ang_v, lam
+
+    def plane_friction_sweep(vel, ang_v, lam_n, lam_t1, lam_t2):
+        def step(carry, xs):
+            vel, ang_v = carry
+            (r, Jt1_c, Jt2_c, k1inv, k2inv, act, ln, l1, l2) = xs
+            limit = mu_plane * ln
+            # t1 = world x
+            u = vel + jnp.cross(ang_v, r)
+            dlam = -u[..., 0] * k1inv * act
+            new1 = jnp.clip(l1 + dlam, -limit, limit)
+            a1 = new1 - l1
+            vel = vel.at[..., 0].add(a1 * inv_m)
+            ang_v = ang_v + a1[..., None] * Jt1_c
+            # t2 = world y (recompute slip velocity after the t1 row)
+            u = vel + jnp.cross(ang_v, r)
+            dlam = -u[..., 1] * k2inv * act
+            new2 = jnp.clip(l2 + dlam, -limit, limit)
+            a2 = new2 - l2
+            vel = vel.at[..., 1].add(a2 * inv_m)
+            ang_v = ang_v + a2[..., None] * Jt2_c
+            return (vel, ang_v), (new1, new2)
+
+        (vel, ang_v), (lam_t1, lam_t2) = lax.scan(
+            step, (vel, ang_v), plane_xs_f + (lam_n, lam_t1, lam_t2))
+        return vel, ang_v, lam_t1, lam_t2
+
+    # ---- drone-drone pair rows (collision spheres) ------------------------
+    use_pairs = drone_drone and (n_drones > 1 or other_pos is not None)
+    pair_jacobi = (n_drones > PAIR_GS_MAX_N) or (other_pos is not None)
+    radius = params.collision_r
+    if use_pairs and not pair_jacobi:
+        iu = np.triu_indices(n_drones, k=1)
+        pi = jnp.asarray(iu[0]); pj = jnp.asarray(iu[1])
+        ci = jnp.take(pos, pi, axis=-2); cj = jnp.take(pos, pj, axis=-2)
+        delta = ci - cj
+        dist = jnp.linalg.norm(delta, axis=-1)
+        n_pair = delta / jnp.maximum(dist, 1e-9)[..., None]  # toward i
+        d_pair = dist - 2.0 * radius
+        act_pair = (d_pair < breaking).astype(dtype)
+        tgt_pair = _target_vn(d_pair, dt, erp, slop)
+        point = 0.5 * (ci + cj)
+        r_i = point - ci
+        r_j = point - cj
+        t1p, t2p = _orthonormal_tangents(n_pair)
+        Ii = jnp.take(I_inv_w, pi, axis=-3)
+        Ij = jnp.take(I_inv_w, pj, axis=-3)
+
+        def _jac(Iw, r, axis):
+            return jnp.einsum("...ij,...j->...i", Iw, jnp.cross(r, axis))
+
+        def _kinv(Ji_, Jj_, r_i_, r_j_, axis):
+            k = (2.0 * inv_m
+                 + jnp.einsum("...i,...i->...", jnp.cross(r_i_, axis), Ji_)
+                 + jnp.einsum("...i,...i->...", jnp.cross(r_j_, axis), Jj_))
+            return 1.0 / k
+
+        Jn_i = _jac(Ii, r_i, n_pair); Jn_j = _jac(Ij, r_j, n_pair)
+        Jt1_i = _jac(Ii, r_i, t1p); Jt1_j = _jac(Ij, r_j, t1p)
+        Jt2_i = _jac(Ii, r_i, t2p); Jt2_j = _jac(Ij, r_j, t2p)
+        kn_inv_p = _kinv(Jn_i, Jn_j, r_i, r_j, n_pair)
+        kt1_inv_p = _kinv(Jt1_i, Jt1_j, r_i, r_j, t1p)
+        kt2_inv_p = _kinv(Jt2_i, Jt2_j, r_i, r_j, t2p)
+
+        def pm(a):  # pair axis to scan-major: (..., P[, 3]) -> (P, ...[, 3])
+            ax = -1 if a.ndim == d_pair.ndim else -2
+            return jnp.moveaxis(a, ax, 0)
+
+        pair_static = (pi, pj)
+        pair_xs = tuple(map(pm, (n_pair, t1p, t2p, r_i, r_j, Jn_i, Jn_j,
+                                 Jt1_i, Jt1_j, Jt2_i, Jt2_j, kn_inv_p,
+                                 kt1_inv_p, kt2_inv_p, tgt_pair, act_pair)))
+
+        def _u_rel(vel, ang_v, i, j, r_i_, r_j_):
+            vi = vel[..., i, :] + jnp.cross(ang_v[..., i, :], r_i_)
+            vj = vel[..., j, :] + jnp.cross(ang_v[..., j, :], r_j_)
+            return vi - vj
+
+        def pair_normal_sweep(vel, ang_v, lam):
+            def step(carry, xs):
+                vel, ang_v = carry
+                (i, j, n, r_i_, r_j_, Jni, Jnj, kinv, tgt, act, lam_c) = xs
+                u = _u_rel(vel, ang_v, i, j, r_i_, r_j_)
+                un = jnp.sum(u * n, -1)
+                dlam = (tgt - un) * kinv * act
+                new = jnp.maximum(lam_c + dlam, 0.0)
+                a = new - lam_c
+                imp = a[..., None] * n * inv_m
+                vel = vel.at[..., i, :].add(imp).at[..., j, :].add(-imp)
+                ang_v = (ang_v.at[..., i, :].add(a[..., None] * Jni)
+                         .at[..., j, :].add(-a[..., None] * Jnj))
+                return (vel, ang_v), new
+
+            xs = (pair_static[0], pair_static[1], pair_xs[0], pair_xs[3],
+                  pair_xs[4], pair_xs[5], pair_xs[6], pair_xs[11],
+                  pair_xs[14], pair_xs[15], lam)
+            (vel, ang_v), lam = lax.scan(step, (vel, ang_v), xs)
+            return vel, ang_v, lam
+
+        def pair_friction_sweep(vel, ang_v, lam_n, lam_t1, lam_t2):
+            def step(carry, xs):
+                vel, ang_v = carry
+                (i, j, t1, t2, r_i_, r_j_, J1i, J1j, J2i, J2j, k1inv, k2inv,
+                 act, ln, l1, l2) = xs
+                limit = mu_pair * ln
+                out = []
+                for t, Jti, Jtj, kinv, l in ((t1, J1i, J1j, k1inv, l1),
+                                             (t2, J2i, J2j, k2inv, l2)):
+                    u = _u_rel(vel, ang_v, i, j, r_i_, r_j_)
+                    ut = jnp.sum(u * t, -1)
+                    dlam = -ut * kinv * act
+                    new = jnp.clip(l + dlam, -limit, limit)
+                    a = new - l
+                    imp = a[..., None] * t * inv_m
+                    vel = vel.at[..., i, :].add(imp).at[..., j, :].add(-imp)
+                    ang_v = (ang_v.at[..., i, :].add(a[..., None] * Jti)
+                             .at[..., j, :].add(-a[..., None] * Jtj))
+                    out.append(new)
+                return (vel, ang_v), (out[0], out[1])
+
+            xs = (pair_static[0], pair_static[1], pair_xs[1], pair_xs[2],
+                  pair_xs[3], pair_xs[4], pair_xs[7], pair_xs[8], pair_xs[9],
+                  pair_xs[10], pair_xs[12], pair_xs[13], pair_xs[15],
+                  lam_n, lam_t1, lam_t2)
+            (vel, ang_v), (lam_t1, lam_t2) = lax.scan(step, (vel, ang_v), xs)
+            return vel, ang_v, lam_t1, lam_t2
+
+        n_pairs = len(iu[0])
+    elif use_pairs:
+        # Jacobi fallback (swarm scale / cross-shard): all pair rows computed
+        # from the same iterate and applied summed — Bullet's strict sweep
+        # order is traded for a dense vectorized pass (core/collisions.py has
+        # the convergence argument; n_iter iterations supply the sweeps).
+        src_pos = pos if other_pos is None else other_pos
+        src_vel = vel if other_vel is None else other_vel
+        delta = pos[..., :, None, :] - src_pos[..., None, :, :]  # (...,N,M,3)
+        dist = jnp.linalg.norm(delta, axis=-1)
+        n_mat = delta / jnp.maximum(dist, 1e-9)[..., None]
+        d_mat = dist - 2.0 * radius
+        self_mask = (dist > 1e-9).astype(dtype)
+        act_mat = (d_mat < breaking).astype(dtype) * self_mask
+        tgt_mat = _target_vn(d_mat, dt, erp, slop)
+        # Sphere contact at the midpoint: r = -radius * n per body; with the
+        # equal-mass equal-radius geometry the angular terms cancel in the
+        # normal row (r x n = 0 for central contacts) — normal-only Jacobi,
+        # matching core/collisions.py's projection but impulse-accumulated.
+        kn_inv_mat = 1.0 / (2.0 * inv_m)
+
+        def pair_jacobi_pass(vel, ang_v, lam):
+            v_src = vel if other_vel is None else src_vel
+            u = vel[..., :, None, :] - v_src[..., None, :, :]
+            un = jnp.sum(u * n_mat, -1)
+            dlam = (tgt_mat - un) * kn_inv_mat * act_mat
+            new = jnp.maximum(lam + dlam, 0.0)
+            a = new - lam
+            vel = vel + jnp.sum(a[..., None] * n_mat, -2) * inv_m
+            return vel, ang_v, new
+
+        n_pairs = d_mat.shape[-1]
+
+    # ---- obstacle rows (drone sphere vs static spheres) -------------------
+    if obstacles is not None:
+        delta_o = pos[..., :, None, :] - obstacles.pos  # (..., N, M, 3)
+        dist_o = jnp.linalg.norm(delta_o, axis=-1)
+        n_obs = delta_o / jnp.maximum(dist_o, 1e-9)[..., None]
+        d_obs = dist_o - (radius + obstacles.radius)
+        act_obs = (d_obs < breaking).astype(dtype)
+        tgt_obs = _target_vn(d_obs, dt, erp, slop)
+        r_obs = -radius * n_obs  # contact point on the drone sphere
+        t1o, t2o = _orthonormal_tangents(n_obs)
+
+        def _jac_o(r, axis):
+            return jnp.einsum("...nij,...nmj->...nmi", I_inv_w,
+                              jnp.cross(r, axis))
+
+        Jn_o = _jac_o(r_obs, n_obs)
+        Jt1_o = _jac_o(r_obs, t1o)
+        Jt2_o = _jac_o(r_obs, t2o)
+
+        def _kinv_o(J, r, axis):
+            return 1.0 / (inv_m + jnp.einsum("...i,...i->...",
+                                             jnp.cross(r, axis), J))
+
+        kn_inv_o = _kinv_o(Jn_o, r_obs, n_obs)
+        kt1_inv_o = _kinv_o(Jt1_o, r_obs, t1o)
+        kt2_inv_o = _kinv_o(Jt2_o, r_obs, t2o)
+
+        def om(a):  # obstacle axis to scan-major
+            ax = -1 if a.ndim == d_obs.ndim else -2
+            return jnp.moveaxis(a, ax, 0)
+
+        obs_xs = tuple(map(om, (n_obs, t1o, t2o, r_obs, Jn_o, Jt1_o, Jt2_o,
+                                kn_inv_o, kt1_inv_o, kt2_inv_o, tgt_obs,
+                                act_obs)))
+
+        def obstacle_normal_sweep(vel, ang_v, lam):
+            def step(carry, xs):
+                vel, ang_v = carry
+                (n, r, Jn_c, kinv, tgt, act, lam_c) = xs
+                u = vel + jnp.cross(ang_v, r)
+                un = jnp.sum(u * n, -1)
+                dlam = (tgt - un) * kinv * act
+                new = jnp.maximum(lam_c + dlam, 0.0)
+                a = new - lam_c
+                vel = vel + a[..., None] * n * inv_m
+                ang_v = ang_v + a[..., None] * Jn_c
+                return (vel, ang_v), new
+
+            xs = (obs_xs[0], obs_xs[3], obs_xs[4], obs_xs[7], obs_xs[10],
+                  obs_xs[11], lam)
+            (vel, ang_v), lam = lax.scan(step, (vel, ang_v), xs)
+            return vel, ang_v, lam
+
+        def obstacle_friction_sweep(vel, ang_v, lam_n, lam_t1, lam_t2):
+            def step(carry, xs):
+                vel, ang_v = carry
+                (t1, t2, r, J1, J2, k1inv, k2inv, act, ln, l1, l2) = xs
+                limit = mu_pair * ln
+                outs = []
+                for t, Jt, kinv, l in ((t1, J1, k1inv, l1), (t2, J2, k2inv, l2)):
+                    u = vel + jnp.cross(ang_v, r)
+                    ut = jnp.sum(u * t, -1)
+                    dlam = -ut * kinv * act
+                    new = jnp.clip(l + dlam, -limit, limit)
+                    a = new - l
+                    vel = vel + a[..., None] * t * inv_m
+                    ang_v = ang_v + a[..., None] * Jt
+                    outs.append(new)
+                return (vel, ang_v), (outs[0], outs[1])
+
+            xs = (obs_xs[1], obs_xs[2], obs_xs[3], obs_xs[5], obs_xs[6],
+                  obs_xs[8], obs_xs[9], obs_xs[11], lam_n, lam_t1, lam_t2)
+            (vel, ang_v), (lam_t1, lam_t2) = lax.scan(step, (vel, ang_v), xs)
+            return vel, ang_v, lam_t1, lam_t2
+
+        n_obstacles = obstacles.pos.shape[0]
+
+    # ---- Gauss-Seidel iterations ------------------------------------------
+    batch = d_pl.shape[:-1]  # (..., N)
+    n_contacts_pl = 2 * RIM_SAMPLES
+    lam0 = dict(
+        pl_n=jnp.zeros((n_contacts_pl,) + batch, dtype),
+        pl_t1=jnp.zeros((n_contacts_pl,) + batch, dtype),
+        pl_t2=jnp.zeros((n_contacts_pl,) + batch, dtype),
+    )
+    if use_pairs and not pair_jacobi:
+        pshape = (n_pairs,) + batch[:-1]
+        lam0.update(p_n=jnp.zeros(pshape, dtype),
+                    p_t1=jnp.zeros(pshape, dtype),
+                    p_t2=jnp.zeros(pshape, dtype))
+    elif use_pairs:
+        lam0.update(p_n=jnp.zeros(batch + (n_pairs,), dtype))
+    if obstacles is not None:
+        oshape = (n_obstacles,) + batch
+        lam0.update(o_n=jnp.zeros(oshape, dtype),
+                    o_t1=jnp.zeros(oshape, dtype),
+                    o_t2=jnp.zeros(oshape, dtype))
+
+    def body(_, carry):
+        vel, ang_v, lam = carry
+        lam = dict(lam)
+        vel, ang_v, lam["pl_n"] = plane_normal_sweep(vel, ang_v, lam["pl_n"])
+        if use_pairs and not pair_jacobi:
+            vel, ang_v, lam["p_n"] = pair_normal_sweep(vel, ang_v, lam["p_n"])
+        elif use_pairs:
+            vel, ang_v, lam["p_n"] = pair_jacobi_pass(vel, ang_v, lam["p_n"])
+        if obstacles is not None:
+            vel, ang_v, lam["o_n"] = obstacle_normal_sweep(
+                vel, ang_v, lam["o_n"])
+        vel, ang_v, lam["pl_t1"], lam["pl_t2"] = plane_friction_sweep(
+            vel, ang_v, lam["pl_n"], lam["pl_t1"], lam["pl_t2"])
+        if use_pairs and not pair_jacobi:
+            vel, ang_v, lam["p_t1"], lam["p_t2"] = pair_friction_sweep(
+                vel, ang_v, lam["p_n"], lam["p_t1"], lam["p_t2"])
+        if obstacles is not None:
+            vel, ang_v, lam["o_t1"], lam["o_t2"] = obstacle_friction_sweep(
+                vel, ang_v, lam["o_n"], lam["o_t1"], lam["o_t2"])
+        return vel, ang_v, lam
+
+    vel, ang_v, _ = lax.fori_loop(0, n_iter, body, (vel, ang_v, lam0))
+    return vel, ang_v

@@ -120,6 +120,7 @@ def substep_pyb(
     drag: bool = False,
     dw: bool = False,
     contact: bool = True,
+    contact_mode: str = "clamp",
     renormalize_quat: bool = True,
     dw_src_pos=None,
     dw_force_body_z=None,
@@ -177,6 +178,28 @@ def substep_pyb(
     new_omega_body = _euler_rotational(torques_body, omega_body, params, dt)
     new_ang_v = jnp.einsum("...ij,...j->...i", R, new_omega_body)
 
+    if contact and contact_mode == "impulse":
+        # Bullet-faithful sequential-impulse pass (core/contact.py): contacts
+        # detected on the PRE-integration pose, impulses applied to the
+        # force-integrated velocities, positions integrated afterwards —
+        # btDiscreteDynamicsWorld's exact phase order. Plane, drone-drone and
+        # obstacle rows all live inside the solver here, so the clamp and the
+        # Jacobi projection below are both skipped.
+        from gym_pybullet_drones_tpu.core.contact import solve_contacts
+
+        new_vel, new_ang_v = solve_contacts(
+            state.pos, state.quat, new_vel, new_ang_v, params, dt,
+            drone_drone=collide, obstacles=obstacles)
+        new_omega_body = jnp.einsum("...ji,...j->...i", R, new_ang_v)
+        new_pos = state.pos + dt * new_vel
+        new_quat = integrate_quat(state.quat, new_omega_body, dt)
+        if renormalize_quat:
+            new_quat = quat_normalize(new_quat)
+        new_rpy_rates = jnp.einsum(
+            "...ji,...j->...i", quat_to_matrix(new_quat), new_ang_v)
+        return KinState(pos=new_pos, quat=new_quat, vel=new_vel,
+                        ang_v=new_ang_v, rpy_rates=new_rpy_rates)
+
     new_pos = state.pos + dt * new_vel
     # PyBullet integrates orientation with the world angular velocity
     # (exponential map); equivalent to body-rate integration of R^T w'.
@@ -230,6 +253,7 @@ def step_physics(
     renormalize_quat: bool = True,
     collisions: bool = False,
     obstacles=None,
+    contact_mode: str = "clamp",
 ) -> tuple[KinState, jax.Array]:
     """Advance ``n_substeps`` physics substeps under one control action.
 
@@ -255,7 +279,7 @@ def step_physics(
             state, rpm, last_rpm, params, dt,
             renormalize_quat=renormalize_quat,
             collide=collisions and state.pos.shape[-2] > 1,
-            obstacles=obstacles, **flags,
+            obstacles=obstacles, contact_mode=contact_mode, **flags,
         )
         last_rpm = rpm
     return state, rpm

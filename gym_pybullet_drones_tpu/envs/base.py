@@ -82,6 +82,14 @@ class AviaryConfig:
     # *default* spawn grid and tasks never collide, and Bullet-parity of
     # non-contact trajectories is bit-exact only without the extra pass.
     collisions: bool = False
+    # Ground/pair contact model: "clamp" = fast plane clamp + Jacobi pair
+    # projection (throughput mode, bit-anchored by the round-1/2 goldens);
+    # "impulse" = Bullet-faithful sequential-impulse solver with Coulomb
+    # friction and Baumgarte correction (core/contact.py) covering tumble,
+    # slide and collision regimes (anchored by the contact goldens,
+    # tests/golden/tumble_pyb.npz et al.). Matches what stepSimulation's
+    # sequential-impulse LCP does in the reference (BaseAviary.py:370).
+    contact_mode: str = "clamp"
     # Scene obstacles for camera views: the reference's RL base always loads
     # the four landmark bodies (BaseRLAviary.py:89, :99-128) and they appear
     # in every camera; obstacles=False removes them from the rendered scene
@@ -466,6 +474,7 @@ def step(
         state.kin, rpm, state.last_rpm, params, cfg.pyb_timestep,
         cfg.steps_per_ctrl, cfg.physics, renormalize_quat=cfg.renormalize_quat,
         collisions=cfg.collisions, obstacles=obstacles,
+        contact_mode=cfg.contact_mode,
     )
     state = state.replace(
         kin=kin,

@@ -128,6 +128,49 @@ def capture_velocity(name, init_xyzs, action_fn, duration_s=4.0):
     print("captured", name)
 
 
+def capture_contact(name, init_xyzs, init_rpys, init_vels, duration_s,
+                    rpm_mode, drone_drone=False, ctrl_hz=48, pyb_hz=240):
+    """Contact-regime capture (tumble / slide / collide2 goldens): CtrlAviary
+    stepped with scripted RPMs after poking initial velocities straight into
+    Bullet via resetBaseVelocity (the reference constructor cannot set them).
+    The engine's own sequential-impulse solver supplies ground/drone contact
+    (BaseAviary.py:370) — these files anchor core/contact.py's impulse mode."""
+    import pybullet as p
+    from gym_pybullet_drones.envs.CtrlAviary import CtrlAviary
+    from gym_pybullet_drones.utils.enums import DroneModel, Physics
+
+    n = len(init_xyzs)
+    env = CtrlAviary(
+        drone_model=DroneModel.CF2X, num_drones=n,
+        initial_xyzs=np.array(init_xyzs), initial_rpys=np.array(init_rpys),
+        physics=Physics.PYB, pyb_freq=pyb_hz, ctrl_freq=ctrl_hz, gui=False,
+    )
+    env.reset(seed=42)
+    for j in range(n):
+        p.resetBaseVelocity(env.DRONE_IDS[j],
+                            linearVelocity=list(init_vels[j]),
+                            physicsClientId=env.CLIENT)
+    hover = env.HOVER_RPM
+    steps = int(duration_s * ctrl_hz)
+    out = {k: np.zeros((steps, n, d)) for k, d in
+           [("pos", 3), ("quat", 4), ("vel", 3), ("ang_v", 3), ("rpm", 4)]}
+    for t in range(steps):
+        rpm = (np.full((n, 4), hover) if rpm_mode == "hover"
+               else np.zeros((n, 4)))
+        obs, *_ = env.step(rpm)
+        for j in range(n):
+            out["pos"][t, j] = obs[j][0:3]
+            out["quat"][t, j] = obs[j][3:7]
+            out["vel"][t, j] = obs[j][10:13]
+            out["ang_v"][t, j] = obs[j][13:16]
+            out["rpm"][t, j] = rpm[j]
+    env.close()
+    np.savez(os.path.join(HERE, name), **out,
+             init_xyzs=np.array(init_xyzs), init_rpys=np.array(init_rpys),
+             init_vel=np.array(init_vels))
+    print("captured", name)
+
+
 def main():
     _require_reference()
     # Geometry/scripts identical to generate.py main() — keep in sync.
@@ -216,6 +259,18 @@ def main():
         return a
 
     capture_velocity("velocity_pyb.npz", v_init, vel_action)
+
+    # contact-regime goldens (engine sequential-impulse solver) — geometry
+    # mirrors generate.py's _fly_contact configs
+    capture_contact("tumble_pyb.npz", [[0.0, 0.0, 0.3]], [[0.5, 0.2, 0.0]],
+                    [[0.0, 0.0, 0.0]], 2.0, "zero")
+    capture_contact("slide_pyb.npz", [[0.0, 0.0, 0.5]], [[0.0, 0.0, 0.0]],
+                    [[1.0, 0.0, 0.0]], 2.0, "zero")
+    capture_contact("collide2_pyb.npz",
+                    [[-0.2, 0.0, 0.5], [0.2, 0.0, 0.5]],
+                    [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                    [[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]], 2.0, "hover",
+                    drone_drone=True)
     print("ALL engine-derived goldens written to", HERE)
 
 

@@ -34,7 +34,13 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))))
 
-from oracle import DSLPIDOracle, consts, dyn_substep, pyb_step_fleet  # noqa: E402
+from oracle import (  # noqa: E402
+    DSLPIDOracle,
+    consts,
+    dyn_substep,
+    pyb_step_fleet,
+    pyb_step_fleet_impulse,
+)
 from gym_pybullet_drones_tpu.envs.spec import DroneModel  # noqa: E402
 
 HERE = os.path.dirname(os.path.abspath(__file__))
@@ -205,7 +211,66 @@ def _fly(init_xyzs, init_rpys, target_fn, duration_s, ctrl_hz=48, pyb_hz=240):
     return out_pos, out_quat, out_rpm
 
 
+def _fly_contact(init_xyzs, init_rpys, vel0, duration_s, rpm_fn,
+                 drone_drone=False, ctrl_hz=48, pyb_hz=240):
+    """Contact-regime flights under the sequential-impulse solver
+    (oracle.pyb_step_fleet_impulse): tumble / hard-landing-slide / collision
+    goldens for VERDICT round-2 item #1."""
+    n = len(init_xyzs)
+    c = consts(DroneModel.CF2X)
+    pos = np.array(init_xyzs, dtype=np.float64)
+    quat = _quats_from_rpys(init_rpys)
+    vel = np.array(vel0, dtype=np.float64)
+    ang_v = np.zeros((n, 3))
+    last = np.zeros((n, 4))
+    sub = pyb_hz // ctrl_hz
+    steps = int(duration_s * ctrl_hz)
+    out = dict(pos=np.zeros((steps, n, 3)), quat=np.zeros((steps, n, 4)),
+               vel=np.zeros((steps, n, 3)), ang_v=np.zeros((steps, n, 3)),
+               rpm=np.zeros((steps, n, 4)))
+    for t in range(steps):
+        rpm = np.asarray(rpm_fn(t), dtype=np.float64)
+        pos, quat, vel, ang_v, last = pyb_step_fleet_impulse(
+            pos, quat, vel, ang_v, rpm, last, c, 1.0 / pyb_hz, sub,
+            drone_drone=drone_drone)
+        out["pos"][t], out["quat"][t] = pos, quat
+        out["vel"][t], out["ang_v"][t] = vel, ang_v
+        out["rpm"][t] = rpm
+    return out
+
+
 def main():
+    # --- contact-regime goldens (sequential-impulse solver) ---------------
+    # tumble: tilted powerless drop -> rim impacts -> rights itself flat
+    out = _fly_contact([[0.0, 0.0, 0.3]], [[0.5, 0.2, 0.0]],
+                       [[0.0, 0.0, 0.0]], 2.0, lambda t: np.zeros((1, 4)))
+    np.savez(os.path.join(HERE, "tumble_pyb.npz"), **out,
+             init_xyzs=np.array([[0.0, 0.0, 0.3]]),
+             init_rpys=np.array([[0.5, 0.2, 0.0]]),
+             init_vel=np.zeros((1, 3)))
+
+    # slide: hard landing from 0.5 m with 1 m/s lateral speed -> Coulomb
+    # friction (mu = 0.5) grinds it to rest
+    out = _fly_contact([[0.0, 0.0, 0.5]], [[0.0, 0.0, 0.0]],
+                       [[1.0, 0.0, 0.0]], 2.0, lambda t: np.zeros((1, 4)))
+    np.savez(os.path.join(HERE, "slide_pyb.npz"), **out,
+             init_xyzs=np.array([[0.0, 0.0, 0.5]]),
+             init_rpys=np.zeros((1, 3)),
+             init_vel=np.array([[1.0, 0.0, 0.0]]))
+
+    # collide2: head-on two-drone approach at hover thrust -> restitution-0
+    # stop at sphere contact
+    c2 = consts(DroneModel.CF2X)
+    hov2 = c2["hover_rpm"]
+    out = _fly_contact([[-0.2, 0.0, 0.5], [0.2, 0.0, 0.5]],
+                       [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
+                       [[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]], 2.0,
+                       lambda t: np.full((2, 4), hov2), drone_drone=True)
+    np.savez(os.path.join(HERE, "collide2_pyb.npz"), **out,
+             init_xyzs=np.array([[-0.2, 0.0, 0.5], [0.2, 0.0, 0.5]]),
+             init_rpys=np.zeros((2, 3)),
+             init_vel=np.array([[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]]))
+
     # hover_dyn
     tgt = np.array([0.0, 0.0, 1.0])
     p, q, r = _fly([[0, 0, 0.1]], [[0, 0, 0]],

@@ -154,3 +154,84 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
 
     dw.cols = dw_cols
     return dw
+
+
+def make_downwash_masked(params: DroneParams, bt: int = _BT, bs: int = _BS,
+                         interpret: bool = False, cone: bool = True):
+    """Mask-gated downwash pass for ARBITRARILY permuted fleets.
+
+    Round-3 variant (VERDICT r2 item #3): instead of sorting around every
+    pass, the caller keeps the fleet in any spatially-coherent permutation
+    (persistently z- or Morton-sorted, possibly a few control steps stale —
+    ops/swarm_soa.make_sorted_swarm_step) and this pass computes exact
+    value-based tile live masks from the actual coordinates
+    (ops/spatial.wake_live_mask: dz > 0 + 10 m xy box cutoff + optional f32
+    cone cull). No argsort/gather/scatter per pass — the measured 9 ms
+    overhead of the z_sort path at 65k (scripts/pair_profile.py) disappears,
+    and on spread-out fleets the xy terms cull far more than the z triangle.
+    Masks gate whole tiles; per-pair masks inside live tiles are unchanged,
+    so results match the dense path wherever the sorted kernels do.
+    """
+    from gym_pybullet_drones_tpu.ops.spatial import wake_live_mask
+
+    c2 = float(params.dw_coeff_2)
+    c3 = float(params.dw_coeff_3)
+    K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
+
+    def kernel(mask_ref, xt, yt, zt, xs, ys, zs, out):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ns = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            out[:] = jnp.zeros_like(out)
+
+        @pl.when(mask_ref[i * ns + j] != 0)
+        def _():
+            dx = xs[:] - xt[:]
+            dy = ys[:] - yt[:]
+            dz = zs[:] - zt[:]
+            dxy2 = dx * dx + dy * dy
+            safe_dz = jnp.where(dz > 0, dz, 1.0)
+            alpha = K / (safe_dz * safe_dz)
+            beta = c2 * safe_dz + c3
+            safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
+            mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+            live = (dz > 0) & (dxy2 < 100.0)
+            out[:] -= jnp.sum(jnp.where(live, mag, 0.0), axis=1,
+                              keepdims=True)
+
+    def dw_cols(x, y, z):
+        N = x.shape[0]
+        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        in_dtype = x.dtype
+        x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
+        # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).
+        mask = wake_live_mask(x, y, z, bt, bs, params=params,
+                              cone=cone).reshape(-1)
+        t_spec = pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, bs), lambda i, j, m: (0, j),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N // bt, N // bs),
+            in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
+            out_specs=pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+            interpret=interpret,
+        )(mask, x.reshape(N, 1), y.reshape(N, 1), z.reshape(N, 1),
+          x.reshape(1, N), y.reshape(1, N), z.reshape(1, N))
+        return out[:, 0].astype(in_dtype)
+
+    def dw(pos):
+        return dw_cols(pos[:, 0], pos[:, 1], pos[:, 2])
+
+    dw.cols = dw_cols
+    return dw

@@ -174,3 +174,112 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
 
     interact.cols = interact_cols
     return interact
+
+
+def make_interact_masked(params: DroneParams, bt: int = _BT, bs: int = _BS,
+                         max_push: float = 0.01, interpret: bool = False,
+                         cone: bool = True):
+    """Mask-gated fused wake+contact pass for arbitrarily permuted fleets.
+
+    The round-3 counterpart of `make_interact_pallas` for the persistently-
+    sorted swarm loop (see `make_downwash_masked` for the rationale): exact
+    value-based tile masks (ops/spatial) gate the wake and contact sections
+    independently — no per-pass argsort/gather/scatter, and the contact
+    section dies on everything but box-adjacent tiles in ALL THREE axes
+    (the z-sorted path could only cull contact along z)."""
+    from gym_pybullet_drones_tpu.ops.spatial import packed_live_mask
+
+    c2 = float(params.dw_coeff_2)
+    c3 = float(params.dw_coeff_3)
+    K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
+    min_dist = 2.0 * float(params.collision_r)
+    eps = 1e-9
+
+    def kernel(mask_ref, xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
+               dw, dpx, dpy, dpz, dvx, dvy, dvz):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        ns = pl.num_programs(1)
+        m = mask_ref[i * ns + j]  # bit 0: wake live, bit 1: contact live
+
+        @pl.when(j == 0)
+        def _():
+            for o in (dw, dpx, dpy, dpz, dvx, dvy, dvz):
+                o[:] = jnp.zeros_like(o)
+
+        @pl.when(m & 1 != 0)
+        def _():
+            dxs = xs[:] - xt[:]
+            dys = ys[:] - yt[:]
+            dzs = zs[:] - zt[:]
+            dxy2 = dxs * dxs + dys * dys
+            safe_dz = jnp.where(dzs > 0, dzs, 1.0)
+            alpha = K / (safe_dz * safe_dz)
+            beta = c2 * safe_dz + c3
+            safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
+            mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+            wake = jnp.where((dzs > 0) & (dxy2 < 100.0), mag, 0.0)
+            dw[:] -= jnp.sum(wake, axis=1, keepdims=True)
+
+        @pl.when(m & 2 != 0)
+        def _():
+            dxs = xs[:] - xt[:]
+            dys = ys[:] - yt[:]
+            dzs = zs[:] - zt[:]
+            d2 = dxs * dxs + dys * dys + dzs * dzs
+            contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
+            inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
+            dist = d2 * inv
+            overlap = jnp.where(contact, min_dist - dist, 0.0)
+            nx, ny, nz = -dxs * inv, -dys * inv, -dzs * inv
+            push = jnp.minimum(0.5 * overlap, max_push)
+            dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
+            dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
+            dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
+            rvx = vxt[:] - vxs[:]
+            rvy = vyt[:] - vys[:]
+            rvz = vzt[:] - vzs[:]
+            vn = rvx * nx + rvy * ny + rvz * nz
+            appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
+            dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
+            dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
+            dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+
+    def interact_cols(x, y, z, vx, vy, vz):
+        N = x.shape[0]
+        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        in_dtype = x.dtype
+        comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        # packed wake|contact mask; rides scalar prefetch (SMEM)
+        mask = packed_live_mask(comps[0], comps[1], comps[2], bt, bs,
+                                min_dist, params=params, cone=cone)
+        cols_t = [a.reshape(N, 1) for a in comps]
+        cols_s = [a.reshape(1, N) for a in comps]
+        t_spec = pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+                              memory_space=pltpu.VMEM)
+        s_spec = pl.BlockSpec((1, bs), lambda i, j, m: (0, j),
+                              memory_space=pltpu.VMEM)
+        o_spec = pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+                              memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(N // bt, N // bs),
+            in_specs=[t_spec] * 6 + [s_spec] * 6,
+            out_specs=[o_spec] * 7,
+        )
+        outs = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
+            interpret=interpret,
+        )(mask, *cols_t, *cols_s)
+        cols = [o[:, 0].astype(in_dtype) for o in outs]
+        return cols[0], tuple(cols[1:4]), tuple(cols[4:7])
+
+    def interact(pos, vel):
+        mag, dp, dv = interact_cols(pos[:, 0], pos[:, 1], pos[:, 2],
+                                    vel[:, 0], vel[:, 1], vel[:, 2])
+        return mag, jnp.stack(dp, -1), jnp.stack(dv, -1)
+
+    interact.cols = interact_cols
+    return interact

@@ -1,0 +1,180 @@
+"""Spatial orderings and exact tile-level live masks for the pair kernels.
+
+Round-3 neighbor pruning (VERDICT r2 item #3). The round-2 pair kernels cull
+tiles by *index arithmetic on a freshly z-sorted fleet*, which forces an
+argsort + gather + scatter around EVERY pair pass (measured 9 ms of a 27 ms
+pass at 65k, scripts/pair_profile.py). This module decouples culling from
+sortedness: per pass it computes each tile's axis-aligned bounding box
+directly from the (arbitrarily permuted) coordinate columns — a trivial
+reshape/min/max — and derives **exact, value-based live masks** per
+(target-tile, source-tile) pair:
+
+* wake rows live only if the source box can be strictly above the target box
+  (``dz > 0``, BaseAviary.py:798-811) AND the boxes' closest xy approach is
+  inside the 10 m cutoff (:801) AND — optionally — the Gaussian can produce a
+  non-negligible f32 value anywhere in the box pair (the "cone cull": for
+  small dz the wake's ``beta = 0.16 dz - 0.11`` makes the Gaussian narrower
+  than one drone spacing; contributions beyond ``~13 sigma`` underflow f32);
+* contact rows live only if the boxes approach within the 0.12 m collision
+  diameter on every axis (cf2x.urdf:31-36 geometry).
+
+Masks are conservative (never cull a contributing pair — cone margins below),
+so they are correct for ANY permutation of the fleet; sorting (by z or a
+Morton key) merely concentrates live pairs into few tiles. That enables the
+persistently-sorted swarm loop (ops/swarm_soa.make_sorted_swarm_step): sort
+every K control steps, keep the state permuted, and let the masks absorb the
+in-between disorder — no per-pass gather/scatter at all.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# f32 exp underflow margin for the cone cull: exp(x) is subnormal below
+# x = -87.3 and flushes to 0 below -103.3; alpha = K/dz^2 can multiply the
+# Gaussian back up by at most ~exp(28) for dz >= 1e-6, so -0.5 q < -(103+60)
+# guarantees an exact-zero f32 contribution with a 2x safety margin on top.
+_CONE_Q = 2.0 * (103.3 + 60.0)
+
+
+def tile_bounds(col, block):
+    """(N,) column -> per-tile (min, max), each (N // block,)."""
+    t = col.reshape(-1, block)
+    return t.min(axis=1), t.max(axis=1)
+
+
+def tile_bounds6(x, y, z, block):
+    """All six per-tile bounds in ONE reduction kernel.
+
+    The masks are recomputed inside the fused swarm step every pair pass and
+    sit on the serial dependency chain between the substep and the Pallas
+    kernel (the scalar-prefetch mask must be ready before the kernel starts);
+    a naive per-column min/max is ~12 tiny reduce kernels whose launch
+    latency adds up. Stacking into (6, nt, block) keeps it to one.
+
+    Returns (xmin, ymin, zmin, xmax, ymax, zmax), each (N // block,).
+    """
+    a = jnp.stack([x, y, z, -x, -y, -z]).reshape(6, -1, block)
+    m = a.min(axis=2)
+    return m[0], m[1], m[2], -m[3], -m[4], -m[5]
+
+
+def _box_gap(tmin, tmax, smin, smax):
+    """Closest approach of target-tile and source-tile intervals: (nt, ns)."""
+    return jnp.maximum(
+        jnp.maximum(smin[None, :] - tmax[:, None],
+                    tmin[:, None] - smax[None, :]), 0.0)
+
+
+def _wake_live_from_bounds(tb, sb, params, cone):
+    """Wake-live (nt, ns) bool from target/source tile bounds (see
+    wake_live_mask for semantics)."""
+    txmin, tymin, tzmin, txmax, tymax, tzmax = tb
+    sxmin, symin, szmin, sxmax, symax, szmax = sb
+    gx = _box_gap(txmin, txmax, sxmin, sxmax)
+    gy = _box_gap(tymin, tymax, symin, symax)
+    dxy2_min = gx * gx + gy * gy
+    dz_max = szmax[None, :] - tzmin[:, None]  # largest possible source-above
+    live = (dz_max > 0.0) & (dxy2_min < 100.0)
+    if cone and params is not None:
+        # |beta| is maximized at an endpoint of the tile pair's dz range
+        # (clipped to the wake's dz > 0 domain).
+        c2 = float(params.dw_coeff_2)
+        c3 = float(params.dw_coeff_3)
+        dz_min = jnp.maximum(szmin[None, :] - tzmax[:, None], 0.0)
+        dz_hi = jnp.maximum(dz_max, 0.0)
+        beta_abs = jnp.maximum(jnp.abs(c2 * dz_min + c3),
+                               jnp.abs(c2 * dz_hi + c3))
+        live = live & (dxy2_min < _CONE_Q * beta_abs * beta_abs)
+    return live
+
+
+def _contact_live_from_bounds(tb, sb, min_dist):
+    txmin, tymin, tzmin, txmax, tymax, tzmax = tb
+    sxmin, symin, szmin, sxmax, symax, szmax = sb
+    live = None
+    for tmin, tmax, smin, smax in (
+            (txmin, txmax, sxmin, sxmax),
+            (tymin, tymax, symin, symax),
+            (tzmin, tzmax, szmin, szmax)):
+        g = _box_gap(tmin, tmax, smin, smax) < min_dist
+        live = g if live is None else live & g
+    return live
+
+
+def _bounds_pair(x, y, z, bt, bs, src_cols=None):
+    tb = tile_bounds6(x, y, z, bt)
+    if src_cols is None and bt == bs:
+        sb = tb
+    else:
+        xs, ys, zs = (x, y, z) if src_cols is None else src_cols
+        sb = tile_bounds6(xs, ys, zs, bs)
+    return tb, sb
+
+
+def wake_live_mask(x, y, z, bt, bs, params=None, cone=True,
+                   src_cols=None):
+    """(nt, ns) int32 mask: 1 where a (bt-target, bs-source) tile pair can
+    hold a wake-contributing pair. Exact w.r.t. the reference's dz > 0 and
+    10 m lateral cutoff; the cone cull additionally drops tile pairs whose
+    every pair's Gaussian underflows f32 — exact zeros in the dense path too.
+    """
+    tb, sb = _bounds_pair(x, y, z, bt, bs, src_cols)
+    return _wake_live_from_bounds(tb, sb, params, cone).astype(jnp.int32)
+
+
+def contact_live_mask(x, y, z, bt, bs, min_dist, src_cols=None):
+    """(nt, ns) int32 mask: 1 where tile boxes approach within ``min_dist``
+    on every axis (superset of the sphere-contact condition — exact cull)."""
+    tb, sb = _bounds_pair(x, y, z, bt, bs, src_cols)
+    return _contact_live_from_bounds(tb, sb, min_dist).astype(jnp.int32)
+
+
+def packed_live_mask(x, y, z, bt, bs, min_dist, params=None, cone=True,
+                     src_cols=None):
+    """Flat (nt*ns,) int32: bit 0 = wake live, bit 1 = contact live.
+
+    One bounds reduction + one elementwise fusion — this sits on the serial
+    chain before every fused interact pass (see tile_bounds6)."""
+    tb, sb = _bounds_pair(x, y, z, bt, bs, src_cols)
+    wake = _wake_live_from_bounds(tb, sb, params, cone)
+    contact = _contact_live_from_bounds(tb, sb, min_dist)
+    return (wake.astype(jnp.int32)
+            | (contact.astype(jnp.int32) << 1)).reshape(-1)
+
+
+def _spread_bits(v):
+    """Spread the low 10 bits of v so consecutive bits land 3 apart."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x30000FF
+    v = (v | (v << 8)) & 0x300F00F
+    v = (v | (v << 4)) & 0x30C30C3
+    v = (v | (v << 2)) & 0x9249249
+    return v
+
+
+def morton_key(x, y, z, bits=10):
+    """Interleaved-bit (Morton / z-order curve) key per drone: (N,) uint32.
+
+    Coordinates are quantized to ``bits`` levels over the fleet's bounding
+    box; sorting by the key makes blocks of consecutive drones spatially
+    compact in all three axes — the ordering that makes the xy terms of the
+    live masks effective on spread-out fleets (a z-sort's thin slabs span the
+    whole field laterally)."""
+    lo = jnp.stack([x.min(), y.min(), z.min()])
+    hi = jnp.stack([x.max(), y.max(), z.max()])
+    scale = ((1 << bits) - 1) / jnp.maximum(hi - lo, 1e-9)
+    q = [jnp.uint32(jnp.clip((c - lo[i]) * scale[i], 0, (1 << bits) - 1))
+         for i, c in enumerate((x, y, z))]
+    return (_spread_bits(q[0]) | (_spread_bits(q[1]) << 1)
+            | (_spread_bits(q[2]) << 2))
+
+
+def sort_key(x, y, z, order: str):
+    """Per-drone sort key for ``order`` in {"z", "morton"}."""
+    if order == "z":
+        return z
+    if order == "morton":
+        return morton_key(x, y, z)
+    raise ValueError(f"unknown order {order!r}")

@@ -66,6 +66,98 @@ def swarm_soa_to_kin(s: Dict[str, jax.Array], template):
     )
 
 
+def make_sorted_swarm(params: DroneParams, dt, n_substeps: int,
+                      collisions: bool = False, interpret: bool = False,
+                      order: str = "z", resort_every: int = 4,
+                      cone: bool = True):
+    """Persistently-sorted coupled-swarm loop (round-3 neighbor pruning).
+
+    Returns ``(init, step, export)``:
+      * ``init(kin) -> s`` sorts the fleet by ``order`` ("z" or "morton"),
+        keeps original indices in ``s['ids']``, and seeds the carried wake;
+      * ``step(s, rpm_cols) -> s`` advances one control period entirely in
+        permuted space (rpm columns are given in ORIGINAL drone order and
+        gathered once per step); the fleet re-sorts every ``resort_every``
+        control steps under ``lax.cond``;
+      * ``export(s, template) -> KinState`` scatters back to original order.
+
+    Why this beats the per-pass z_sort path (measured, scripts/pair_profile.py
+    at 65k): each sorted pair pass spent ~9 ms on argsort+gather+scatter —
+    a third of the pass. Here the state never leaves permuted space; the pair
+    kernels are the mask-gated variants (ops/{downwash,interact}_pallas
+    ``make_*_masked``) whose tile live masks are computed from the ACTUAL
+    coordinates each pass (ops/spatial), so correctness never depends on how
+    stale the ordering is — staleness only loosens the culling. The wake is
+    carried ACROSS control steps (the pass after substep n-1 seeds the next
+    step's substep 0), cutting contact mode from 6 pair passes per control
+    step to 5. With contact the carried wake is computed from pre-correction
+    positions — the same stated deviation class as the fused within-step
+    passes (ops/interact_pallas docstring).
+    """
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import (
+        make_downwash_masked,
+    )
+    from gym_pybullet_drones_tpu.ops.interact_pallas import (
+        make_interact_masked,
+    )
+    from gym_pybullet_drones_tpu.ops.spatial import sort_key
+
+    c = physics_consts(params)
+    dw_m = make_downwash_masked(params, interpret=interpret, cone=cone)
+    ia_m = (make_interact_masked(params, interpret=interpret, cone=cone)
+            if collisions else None)
+    _COLS = ("px", "py", "pz", "qx", "qy", "qz", "qw",
+             "vx", "vy", "vz", "wx", "wy", "wz", "mag", "ids")
+
+    def _resort(s):
+        o = jnp.argsort(sort_key(s["px"], s["py"], s["pz"], order))
+        out = {k: (s[k][o] if k in _COLS else s[k]) for k in s}
+        return out
+
+    def init(kin):
+        s = swarm_soa_from_kin(kin)
+        n = s["px"].shape[0]
+        s["ids"] = jnp.arange(n, dtype=jnp.int32)
+        s["mag"] = jnp.zeros_like(s["px"])
+        s["t"] = jnp.int32(0)
+        s = _resort(s)
+        s["mag"] = dw_m.cols(s["px"], s["py"], s["pz"])
+        return s
+
+    def step(s, rpm_cols):
+        s = jax.lax.cond((s["t"] % resort_every) == 0, _resort,
+                         lambda x: x, s)
+        ids = s["ids"]
+        rpm_sorted = [r[ids] for r in rpm_cols]
+        px, py, pz = s["px"], s["py"], s["pz"]
+        qx, qy, qz, qw = s["qx"], s["qy"], s["qz"], s["qw"]
+        vx, vy, vz = s["vx"], s["vy"], s["vz"]
+        wx, wy, wz = s["wx"], s["wy"], s["wz"]
+        mag = s["mag"]
+        for _ in range(n_substeps):
+            (px, py, pz, qx, qy, qz, qw, vx, vy, vz, wx, wy, wz) = (
+                physics_substep_soa(c, dt, px, py, pz, qx, qy, qz, qw,
+                                    vx, vy, vz, wx, wy, wz, rpm_sorted,
+                                    fz_body=mag))
+            if collisions:
+                mag, dp, dv = ia_m.cols(px, py, pz, vx, vy, vz)
+                px, py, pz = px + dp[0], py + dp[1], pz + dp[2]
+                vx, vy, vz = vx + dv[0], vy + dv[1], vz + dv[2]
+            else:
+                mag = dw_m.cols(px, py, pz)
+        return dict(px=px, py=py, pz=pz, qx=qx, qy=qy, qz=qz, qw=qw,
+                    vx=vx, vy=vy, vz=vz, wx=wx, wy=wy, wz=wz,
+                    mag=mag, ids=ids, t=s["t"] + 1)
+
+    def export(s, template):
+        ids = s["ids"]
+        unsorted = {k: jnp.zeros_like(s[k]).at[ids].set(s[k])
+                    for k in _COLS if k not in ("mag", "ids")}
+        return swarm_soa_to_kin(unsorted, template)
+
+    return init, step, export
+
+
 def make_swarm_step_soa(params: DroneParams, dt, n_substeps: int,
                         collisions: bool = False, interpret: bool = False,
                         z_sort=None):

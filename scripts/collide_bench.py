@@ -26,12 +26,18 @@ from gym_pybullet_drones_tpu.runtime.swarm import make_big_swarm_physics
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # Grid pitch in meters. 0.5 (default, the round-1/2 ladder) is a
+    # VERY dense pack — a 20 m cube at 65k where ~30% of all pairs genuinely
+    # interact through the 10 m wake cutoff (docs/PERF.md SOL analysis);
+    # realistic large-fleet spacing (2-4 m) is where neighbor pruning bites.
+    pitch = float(sys.argv[3]) if len(sys.argv) > 3 else 0.5
     params = drone_params(DroneModel.CF2X)
     rng = np.random.default_rng(0)
     side = int(round(n ** (1 / 3))) + 1
-    g = np.stack(np.meshgrid(*[np.arange(side) * 0.5] * 3), -1).reshape(-1, 3)[:n]
-    pos = jnp.asarray((g + rng.uniform(-0.1, 0.1, g.shape) + [0, 0, 1.0])
-                      .astype(np.float32))
+    g = np.stack(np.meshgrid(*[np.arange(side) * pitch] * 3),
+                 -1).reshape(-1, 3)[:n]
+    pos = jnp.asarray((g + rng.uniform(-0.2 * pitch, 0.2 * pitch, g.shape)
+                       + [0, 0, 1.0]).astype(np.float32))
     kin = init_kin_state(pos, jnp.tile(
         jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
     rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
@@ -40,7 +46,23 @@ def main():
     rpm_cols = [rpm[:, m] for m in range(4)]
 
     for collisions in (False, True):
-        if backend == "soa":
+        if backend == "sorted":
+            from gym_pybullet_drones_tpu.ops.swarm_soa import make_sorted_swarm
+
+            order = os.environ.get("SWARM_ORDER", "z")
+            init, sstep, export = make_sorted_swarm(
+                params, 1 / 240, 5, collisions=collisions, order=order)
+            s0 = jax.jit(init)(kin)
+
+            @jax.jit
+            def run_chunk(s, rpm_cols):
+                def body(s, _):
+                    return sstep(s, rpm_cols), None
+                s, _ = jax.lax.scan(body, s, None, length=chunk)
+                return s
+
+            args = (s0, rpm_cols)
+        elif backend == "soa":
             from gym_pybullet_drones_tpu.ops.swarm_soa import (
                 make_swarm_step_soa, swarm_soa_from_kin,
             )

@@ -243,3 +243,110 @@ def test_pallas_pair_kernels_z_sorted_match_dense():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(vel + dv), np.asarray(v_ref),
                                atol=1e-6)
+
+
+def test_masked_pair_kernels_match_dense():
+    """Round-3 mask-gated kernels (value-based tile bounds + cone cull,
+    ops/spatial) == dense reference paths on a random cloud under an
+    ARBITRARY permutation — the masks must be exact whatever the order.
+    The cone cull only drops tiles whose every pair underflows f32 exp
+    (exact zeros in the dense path too), so tolerances match the z-sorted
+    variants'."""
+    from gym_pybullet_drones_tpu.core import aero
+    from gym_pybullet_drones_tpu.core.collisions import resolve_drone_collisions
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import make_downwash_masked
+    from gym_pybullet_drones_tpu.ops.interact_pallas import make_interact_masked
+
+    cfg = AviaryConfig(task=TASK_VELOCITY)
+    params = envbase.build_params(cfg)
+    N = 1024
+    rng = np.random.RandomState(11)
+    pos = jnp.asarray(
+        rng.uniform(-1, 1, (N, 3)) * np.array([4, 4, 1.5]) + [0, 0, 2.0],
+        jnp.float32)
+    pos = pos.at[1::64].set(
+        pos[0::64] + jnp.asarray([0.08, 0.0, 0.05], jnp.float32))
+    vel = jnp.asarray(rng.uniform(-0.5, 0.5, (N, 3)), jnp.float32)
+    perm = jnp.asarray(rng.permutation(N))  # deliberately unsorted order
+    pos_p, vel_p = pos[perm], vel[perm]
+
+    dense_w = np.asarray(aero.downwash_forces_body_z(pos, params))[perm]
+    p_ref, v_ref = resolve_drone_collisions(pos, vel, params.collision_r)
+    p_ref, v_ref = np.asarray(p_ref)[perm], np.asarray(v_ref)[perm]
+    tol = 1e-4 * max(1.0, np.abs(dense_w).max())
+
+    for cone in (False, True):
+        dw = make_downwash_masked(params, bt=256, bs=256, interpret=True,
+                                  cone=cone)
+        np.testing.assert_allclose(np.asarray(dw(pos_p)), dense_w, rtol=1e-4,
+                                   atol=tol)
+
+    ia = make_interact_masked(params, bt=256, bs=256, interpret=True)
+    mag, dp, dv = ia(pos_p, vel_p)
+    assert np.abs(np.asarray(dp)).max() > 0  # contacts fired
+    np.testing.assert_allclose(np.asarray(mag), dense_w, rtol=1e-4, atol=tol)
+    np.testing.assert_allclose(np.asarray(pos_p + dp), p_ref, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vel_p + dv), v_ref, atol=1e-6)
+
+
+def test_sorted_swarm_matches_soa_step():
+    """Persistently-sorted swarm loop (make_sorted_swarm) == the per-pass
+    sorted SoA step over several control steps, for both orders, on the
+    wake-sane lattice (no contact) and the co-planar contact lattice (the
+    reorder-robust geometries per the repo's conditioning notes)."""
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+    from gym_pybullet_drones_tpu.ops.swarm_soa import (
+        make_sorted_swarm,
+        make_swarm_step_soa,
+        swarm_soa_from_kin,
+        swarm_soa_to_kin,
+    )
+
+    params = drone_params(DroneModel.CF2X)
+    n = 512
+    rng = np.random.RandomState(11)
+    g = np.stack(np.meshgrid(*[np.arange(8) * 0.5] * 3), -1).reshape(-1, 3)
+    pos = jnp.asarray((g + rng.uniform(-0.1, 0.1, g.shape)
+                       + [0, 0, 1.0]).astype(np.float32))
+    kin = init_kin_state(pos, jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    kin = kin.replace(vel=jnp.asarray(
+        rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)))
+
+    base = np.stack(np.meshgrid(np.arange(16) * 0.5, np.arange(16) * 0.5),
+                    -1).reshape(-1, 2)
+    xy = np.concatenate([base, base + [0.1, 0.0]], axis=0)
+    cpos = np.concatenate([xy, np.full((n, 1), 1.0)], 1).astype(np.float32)
+    ckin = init_kin_state(jnp.asarray(cpos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    cvel = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    cvel[:, 2] = 0.0
+    ckin = ckin.replace(vel=jnp.asarray(cvel))
+
+    rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
+    rpm_cols = [rpm[:, m] for m in range(4)]
+    steps = 3
+
+    for collisions, k0 in ((False, kin), (True, ckin)):
+        soa_step = make_swarm_step_soa(params, 1 / 240, 5,
+                                       collisions=collisions, interpret=True)
+        s = swarm_soa_from_kin(k0)
+        for _ in range(steps):
+            s = soa_step(s, rpm_cols)
+        ref_kin = swarm_soa_to_kin(s, k0)
+        for order in ("z", "morton"):
+            init, sstep, export = make_sorted_swarm(
+                params, 1 / 240, 5, collisions=collisions, interpret=True,
+                order=order, resort_every=2)
+            ss = init(k0)
+            for _ in range(steps):
+                ss = sstep(ss, rpm_cols)
+            got = export(ss, k0)
+            np.testing.assert_allclose(np.asarray(got.pos),
+                                       np.asarray(ref_kin.pos), atol=1e-4)
+            np.testing.assert_allclose(np.asarray(got.vel),
+                                       np.asarray(ref_kin.vel), atol=1e-3)
+            np.testing.assert_allclose(np.asarray(got.quat),
+                                       np.asarray(ref_kin.quat), atol=1e-5)

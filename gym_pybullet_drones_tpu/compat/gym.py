@@ -130,7 +130,9 @@ class BaseAviaryEnv(gym.Env):
         self._custom_action = (
             type(self)._preprocessAction is not BaseAviaryEnv._preprocessAction
         )
-        if self._custom_action:
+        if self._custom_action or (gui and user_debug_gui):
+            # Also needed for the GUI-RPM input switch (reference
+            # BaseAviary.py:320-333: slider RPMs bypass _preprocessAction).
             self._jit_step_rpm = jax.jit(
                 lambda s, a, rpm: envbase.step(
                     self.cfg, self.params, self.ctrl_params, self.target_pos,
@@ -148,6 +150,7 @@ class BaseAviaryEnv(gym.Env):
                 "envs.base.Aviary / runtime.rollout (docs/PERF.md).",
                 RuntimeWarning, stacklevel=3)
         self.GUI, self.RECORD, self.OBSTACLES = gui, record, obstacles
+        self.USER_DEBUG = user_debug_gui
         self._viewer = None
         self.OUTPUT_FOLDER = output_folder
         # Recording (BaseAviary._startVideoRecording, :523-537): with
@@ -304,8 +307,16 @@ class BaseAviaryEnv(gym.Env):
         return np.column_stack([np.asarray(obs.pos), np.asarray(obs.radius)])
 
     def _showDroneLocalAxes(self, nth_drone: int):
-        """GUI debug-line shim (BaseAviary.py:964-980): the PyBullet
-        debug-draw API has no equivalent in the LiveViewer; no-op."""
+        """Local-axes debug draw (BaseAviary._showDroneLocalAxes, :964-980):
+        red/green/blue body-axis traces on the LiveViewer for the given
+        drone. No-op without an active GUI viewer (matching the reference,
+        which draws only when GUI is on)."""
+        if self._viewer is None or self._state is None:
+            return
+        self._viewer.show_axes(np.asarray(self._state.kin.pos),
+                               np.asarray(self._state.kin.quat),
+                               length=2.0 * float(self.L),
+                               drones=[int(nth_drone)])
 
     # -- physics-term probes ---------------------------------------------------
     # The reference's per-drone physics methods (BaseAviary.py:679-892) APPLY
@@ -509,16 +520,34 @@ class BaseAviaryEnv(gym.Env):
         if self._viewer is None:
             from gym_pybullet_drones_tpu.utils.viz import LiveViewer
 
-            self._viewer = LiveViewer(self.NUM_DRONES)
+            self._viewer = LiveViewer(
+                self.NUM_DRONES,
+                rpm_sliders=self.USER_DEBUG,
+                max_rpm=float(self.MAX_RPM),
+                hover_rpm=float(self.HOVER_RPM))
             self._view_every = max(1, self.CTRL_FREQ // 10)
             self._view_index = 0
         if self._view_index % self._view_every == 0:
+            if self.USER_DEBUG:
+                # local body axes per drone (BaseAviary._showDroneLocalAxes
+                # under GUI+user_debug, :931-939)
+                self._viewer.show_axes(np.asarray(self._state.kin.pos),
+                                       np.asarray(self._state.kin.quat),
+                                       length=2.0 * float(self.L))
             self._viewer.update(np.asarray(self._state.kin.pos))
         self._view_index += 1
 
     def step(self, action):
         action = np.asarray(action)
-        if self._custom_action:
+        if (self._viewer is not None
+                and getattr(self._viewer, "use_gui_rpm", False)):
+            # "Use GUI RPM" input switch: slider RPMs replace the action for
+            # every drone, bypassing the action pipeline (reference
+            # BaseAviary.py:320-333 tiles gui_input over NUM_DRONES).
+            rpm = np.tile(np.asarray(self._viewer.gui_rpm, dtype=np.float32),
+                          (self.NUM_DRONES, 1))
+            out = self._jit_step_rpm(self._state, action, rpm)
+        elif self._custom_action:
             # Reference flow (BaseAviary.step :340-383): the subclass hook
             # maps the action to motor RPMs; physics + task signals on device.
             rpm = np.asarray(self._preprocessAction(action), dtype=np.float32)

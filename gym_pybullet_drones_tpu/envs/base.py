@@ -214,7 +214,9 @@ def _render_frames(cfg: AviaryConfig, kin: KinState, params: DroneParams):
 
     rgba, _, _ = render_drone_views(
         kin.pos, kin.quat, params.arm,
-        CameraConfig(with_landmarks=cfg.obstacles))
+        CameraConfig(with_landmarks=cfg.obstacles,
+                     frame_angle_deg=(0.0 if cfg.drone_model == DroneModel.CF2P
+                                      else 45.0)))
     return rgba
 
 

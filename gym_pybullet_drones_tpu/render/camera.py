@@ -38,10 +38,19 @@ import jax.numpy as jnp
 from gym_pybullet_drones_tpu.core.rotations import quat_to_matrix
 from gym_pybullet_drones_tpu.envs.spec import ImageType
 
-# Landmark spheres standing in for the reference's block/cube/duck/teddy
-# URDFs (BaseRLAviary.py:108-126): position, radius, RGB color.
+# The reference's four landmarks (BaseRLAviary.py:108-126). block.urdf and
+# cube_small.urdf are literal boxes in pybullet_data, rendered here as
+# ray-cast boxes; duck_vhacd/teddy_vhacd are meshes, kept as sphere
+# stand-ins. Box half-extents are best-known pybullet_data values (the
+# engine-goldens CI job is the calibration path): cube_small is the 5 cm
+# cube; block is a flat 5 x 15 x 5 cm bar.
 _LANDMARKS = np.array([
     [1.0, 0.0, 0.1], [0.0, 1.0, 0.1], [-1.0, 0.0, 0.1], [0.0, -1.0, 0.1],
+])
+_LANDMARK_KIND = ("box", "box", "sphere", "sphere")
+_LANDMARK_HALF = np.array([
+    [0.025, 0.075, 0.025], [0.025, 0.025, 0.025],
+    [0.0, 0.0, 0.0], [0.0, 0.0, 0.0],  # unused for spheres
 ])
 _LANDMARK_R = np.array([0.1, 0.05, 0.12, 0.15])
 _LANDMARK_RGB = np.array([
@@ -56,7 +65,14 @@ class CameraConfig:
     fov_deg: float = 60.0
     aspect: float = 1.0
     far: float = 1000.0
-    drone_radius: float = 0.08
+    # Drone proxy geometry (round 3): an orientation-tracking X-frame — two
+    # prop-to-prop bars rotated by the drone quaternion plus a center-body
+    # sphere — instead of one big sphere, so attitude shows in pixels like
+    # the reference's cf2.dae mesh (BaseAviary.py:565-617). Bar dimensions
+    # scale with the arm length; ``frame_angle_deg`` is 45 for X-config
+    # (CF2X/RACE) and 0 for plus-config (CF2P).
+    drone_radius: float = 0.08  # bounding scale; body sphere = 0.75 * arm
+    frame_angle_deg: float = 45.0
     with_landmarks: bool = True
 
 
@@ -71,6 +87,25 @@ def _ray_sphere(origin, direction, center, radius):
     t1 = -b + sqrt_d
     t = jnp.where(t0 > 1e-4, t0, t1)
     return jnp.where((disc > 0) & (t > 1e-4), t, jnp.inf)
+
+
+def _ray_aabb(oc, dd, half):
+    """Ray vs axis-aligned box centered at the origin (slab test).
+
+    oc/dd: (..., 3) ray origin/direction in the box frame; half: (..., 3) or
+    (3,) half-extents. Returns (t, axis): entry distance (inf on miss; rays
+    starting inside count as a miss — cameras never sit inside scene boxes)
+    and the slab axis of the entry face (for shading normals)."""
+    inv = 1.0 / jnp.where(jnp.abs(dd) > 1e-9, dd, 1e-9)
+    t1 = (-half - oc) * inv
+    t2 = (half - oc) * inv
+    tlo = jnp.minimum(t1, t2)
+    thi = jnp.maximum(t1, t2)
+    tmin = jnp.max(tlo, axis=-1)
+    tmax = jnp.min(thi, axis=-1)
+    hit = (tmax >= tmin) & (tmin > 1e-4)
+    axis = jnp.argmax(tlo, axis=-1)
+    return jnp.where(hit, tmin, jnp.inf), axis
 
 
 def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig(),
@@ -135,22 +170,56 @@ def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig(),
             jnp.where(closer[..., None], rgb, best_rgb),
         )
 
-    # --- other drones as spheres (ids 1..N) ----------------------------------
-    # One batched intersection over a trailing sphere axis + min-reduce, so
-    # the compiled program size is constant in fleet size (a per-drone Python
-    # loop would unroll N full-frame kernels). Memory is (N, H, W, N) floats;
-    # tile the sphere axis if fleets grow beyond a few hundred drones.
-    t_all = _ray_sphere(o[..., None, :], d[..., None, :],
-                        pos[None, None, None, :, :], cfg.drone_radius)
-    # A drone never sees itself (camera sits above its own sphere)
+    # --- other drones as X-frames (ids 1..N) ----------------------------------
+    # Orientation-tracking proxy: two prop-to-prop bars (oriented boxes in
+    # the drone body frame, rotated ``frame_angle_deg`` about body z) plus a
+    # center-body sphere. One batched intersection over a trailing drone
+    # axis + min-reduce keeps the compiled program size constant in fleet
+    # size. Memory is (C, H, W, N, 3) floats; tile the drone axis if fleets
+    # grow beyond a few hundred drones.
+    R_all = quat_to_matrix(quat)  # (N, 3, 3) scene-drone orientations
+    ang = jnp.deg2rad(cfg.frame_angle_deg)
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+    rz = jnp.asarray([[ca, -sa, 0.0], [sa, ca, 0.0], [0.0, 0.0, 1.0]])
+    U = jnp.einsum("nij,jk->nik", R_all, rz)  # bar-A basis per drone
+    bar_len = 1.6 * arm   # prop tip to prop tip (arm + prop radius)
+    bar_wid = 0.3 * arm
+    bar_hgt = 0.2 * arm
+    body_r = 0.75 * arm
+
+    oc_w = o[..., None, :] - pos[None, None, None, :, :]  # (C, H, W, N, 3)
+    # into each drone's bar frame: U^T v
+    oc_b = jnp.einsum("nji,chwnj->chwni", U, oc_w)
+    dd_b = jnp.einsum("nji,chwj->chwni", U, d)  # (C, H, W, N, 3)
+    half_a = jnp.asarray([bar_len, bar_wid, bar_hgt])
+    half_b = jnp.asarray([bar_wid, bar_len, bar_hgt])
+    t_bar_a, ax_a = _ray_aabb(oc_b, dd_b, half_a)
+    t_bar_b, ax_b = _ray_aabb(oc_b, dd_b, half_b)
+    t_sph = _ray_sphere(o[..., None, :], d[..., None, :],
+                        pos[None, None, None, :, :], body_r)
+    t_prims = jnp.stack([t_bar_a, t_bar_b, t_sph], -1)  # (C, H, W, N, 3)
+    t_drone = jnp.min(t_prims, axis=-1)
+    # A drone never sees itself (camera sits above its own frame)
     self_mask = (sel[:, None, None, None]
                  == jnp.arange(N)[None, None, None, :])
-    t_all = jnp.where(self_mask, jnp.inf, t_all)
-    j_min = jnp.argmin(t_all, axis=-1)  # (N, H, W)
-    t_d = jnp.take_along_axis(t_all, j_min[..., None], axis=-1)[..., 0]
-    hit_center = jnp.take(pos, j_min, axis=0)  # (N, H, W, 3)
-    n_d = (o + d * t_d[..., None]) - hit_center
-    shade = jnp.clip(n_d[..., 2] / cfg.drone_radius, 0.2, 1.0)
+    t_drone = jnp.where(self_mask, jnp.inf, t_drone)
+    j_min = jnp.argmin(t_drone, axis=-1)  # (C, H, W)
+    t_d = jnp.take_along_axis(t_drone, j_min[..., None], axis=-1)[..., 0]
+    # Shading: world-z of the hit normal (entry-face axis for bars, radial
+    # for the body sphere), via the winning drone's bar basis.
+    prim = jnp.argmin(
+        jnp.take_along_axis(t_prims, j_min[..., None, None], axis=-2)[..., 0, :],
+        axis=-1)  # (C, H, W) 0=barA 1=barB 2=body
+    U_hit = jnp.take(U, j_min, axis=0)  # (C, H, W, 3, 3)
+    ax_hit = jnp.where(prim == 0,
+                       jnp.take_along_axis(ax_a, j_min[..., None], -1)[..., 0],
+                       jnp.take_along_axis(ax_b, j_min[..., None], -1)[..., 0])
+    n_bar_z = jnp.take_along_axis(
+        U_hit[..., 2, :], ax_hit[..., None], axis=-1)[..., 0]
+    hit_center = jnp.take(pos, j_min, axis=0)
+    n_sph = (o + d * t_d[..., None]) - hit_center
+    n_z = jnp.where(prim == 2, n_sph[..., 2] / body_r, jnp.abs(n_bar_z))
+    shade = jnp.clip(0.35 + 0.65 * n_z, 0.2, 1.0)
     rgb_d = jnp.stack([80.0 * shade, 80.0 * shade, 90.0 * shade], -1) + 100.0
     best_t, best_id, best_rgb = consider(
         (best_t, best_id, best_rgb), t_d, j_min + 1, rgb_d)
@@ -159,9 +228,17 @@ def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig(),
     if cfg.with_landmarks:
         for k in range(4):
             c = jnp.asarray(_LANDMARKS[k])
-            t_k = _ray_sphere(o, d, c[None, None, None, :], _LANDMARK_R[k])
-            n_k = (o + d * t_k[..., None]) - c
-            shade = jnp.clip(0.4 + 0.6 * n_k[..., 2] / _LANDMARK_R[k], 0.3, 1.0)
+            if _LANDMARK_KIND[k] == "box":
+                t_k, ax_k = _ray_aabb(o - c, d, jnp.asarray(_LANDMARK_HALF[k]))
+                # entry-face world normal is +-e_axis: shade top faces bright
+                shade = jnp.where(ax_k == 2, 1.0,
+                                  jnp.where(ax_k == 0, 0.7, 0.55))
+            else:
+                t_k = _ray_sphere(o, d, c[None, None, None, :],
+                                  _LANDMARK_R[k])
+                n_k = (o + d * t_k[..., None]) - c
+                shade = jnp.clip(0.4 + 0.6 * n_k[..., 2] / _LANDMARK_R[k],
+                                 0.3, 1.0)
             rgb_k = jnp.asarray(_LANDMARK_RGB[k], dtype=jnp.float32) * shade[..., None]
             best_t, best_id, best_rgb = consider(
                 (best_t, best_id, best_rgb), t_k, N + 1 + k, rgb_k)

@@ -79,7 +79,8 @@ class LiveViewer:
     """
 
     def __init__(self, num_drones: int, bounds: float = 2.0,
-                 keep_frames: int = 300):
+                 keep_frames: int = 300, rpm_sliders: bool = False,
+                 max_rpm: float = 30000.0, hover_rpm: float = 15000.0):
         import matplotlib
 
         # Window path only on backends that can actually show one; any other
@@ -110,6 +111,35 @@ class LiveViewer:
                                      alpha=0.5, lw=1)[0]
                         for j in range(num_drones)]
         self._hist = [[] for _ in range(num_drones)]
+        # ---- user-debug surface (reference BaseAviary.py:162-167) ---------
+        # Four RPM sliders + a "Use GUI RPM" input switch. On interactive
+        # backends these are real matplotlib widgets; headless, the same
+        # state is driven programmatically via set_gui_rpm()/use_gui_rpm —
+        # the consuming step logic (compat.gym.BaseAviaryEnv.step) is
+        # identical either way, so user_debug_gui=True does something real
+        # in both environments.
+        import numpy as _np
+
+        self.use_gui_rpm = False
+        self._gui_rpm = _np.full(4, float(hover_rpm))
+        self._sliders = []
+        self._axis_lines = {}
+        if rpm_sliders and self._interactive:
+            from matplotlib.widgets import CheckButtons, Slider
+
+            self.fig.subplots_adjust(bottom=0.32)
+            for i in range(4):
+                ax_s = self.fig.add_axes([0.15, 0.04 + 0.05 * i, 0.55, 0.03])
+                s = Slider(ax_s, f"RPM {i}", 0.0, float(max_rpm),
+                           valinit=float(hover_rpm))
+                s.on_changed(
+                    lambda v, i=i: self._gui_rpm.__setitem__(i, float(v)))
+                self._sliders.append(s)
+            ax_c = self.fig.add_axes([0.76, 0.06, 0.2, 0.12])
+            self._check = CheckButtons(ax_c, ["Use GUI RPM"], [False])
+            self._check.on_clicked(
+                lambda _label: setattr(self, "use_gui_rpm",
+                                       not self.use_gui_rpm))
         if self._interactive:
             plt.ion()
             self.fig.show()
@@ -141,6 +171,47 @@ class LiveViewer:
             buf = _np.asarray(self.fig.canvas.buffer_rgba())[:, :, :3]
             self.frames.append(buf.copy())
             self.frames = self.frames[-self._keep:]
+
+    @property
+    def gui_rpm(self):
+        """Current slider RPMs (4,) — the reference's readUserDebugParameter
+        values (BaseAviary.py:320-333)."""
+        import numpy as _np
+
+        return _np.array(self._gui_rpm)
+
+    def set_gui_rpm(self, rpm, use: bool = True):
+        """Programmatic slider drive (headless backends / scripts)."""
+        import numpy as _np
+
+        self._gui_rpm = _np.asarray(rpm, dtype=float).reshape(4).copy()
+        self.use_gui_rpm = bool(use)
+
+    def show_axes(self, pos, quat, length: float = 0.08, drones=None):
+        """Body-axes traces — the stand-in for the reference's
+        addUserDebugLine local axes (BaseAviary._showDroneLocalAxes,
+        :931-939... :964-980): red/green/blue segments along each drone's
+        body x/y/z, updated in place. ``quat`` is (N, 4) xyzw."""
+        import numpy as _np
+
+        pos = _np.asarray(pos)
+        quat = _np.asarray(quat)
+        idx = range(pos.shape[0]) if drones is None else drones
+        for j in idx:
+            x, y, z, w = quat[j]
+            R = _np.array([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+            if j not in self._axis_lines:
+                self._axis_lines[j] = [
+                    self.ax.plot([], [], [], "-", color=c, lw=1.5)[0]
+                    for c in ("r", "g", "b")]
+            for k, line in enumerate(self._axis_lines[j]):
+                tip = pos[j] + length * R[:, k]
+                line.set_data([pos[j, 0], tip[0]], [pos[j, 1], tip[1]])
+                line.set_3d_properties([pos[j, 2], tip[2]])
 
     def close(self):
         self._plt.close(self.fig)

@@ -14,11 +14,21 @@ runtime dispatch overheads. Cross-shard physics (downwash all_gather) is
 exercised separately by `runtime/mesh.make_swarm_downwash_fn`.
 """
 
+import argparse
 import json
+import os
+import sys
 import time
 from functools import partial
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+# The container's sitecustomize pins the axon TPU plugin and ignores the
+# JAX_PLATFORMS env var; honor it at config level (CLAUDE.md quirk).
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from gym_pybullet_drones_tpu.envs.base import (
@@ -79,6 +89,30 @@ def run_at(n_devices: int):
 
 
 def main():
+    # Multi-host entry (docs/SCALING.md): run the SAME command on every host
+    # of the pod slice with --coordinator host0:1234 --num_processes H
+    # --process_id h (or rely on the TPU pod auto-detection by passing only
+    # --distributed). Single-host runs skip initialize entirely.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--distributed", action="store_true",
+                    help="call jax.distributed.initialize() (TPU pods "
+                         "auto-detect coordinator/process ids)")
+    ap.add_argument("--coordinator", default=None,
+                    help="host:port of process 0 (non-TPU or manual setups)")
+    ap.add_argument("--num_processes", type=int, default=None)
+    ap.add_argument("--process_id", type=int, default=None)
+    args = ap.parse_args()
+    if args.distributed or args.coordinator is not None:
+        kwargs = {}
+        if args.coordinator is not None:
+            kwargs = dict(coordinator_address=args.coordinator,
+                          num_processes=args.num_processes,
+                          process_id=args.process_id)
+        jax.distributed.initialize(**kwargs)
+        print(json.dumps({"process": jax.process_index(),
+                          "processes": jax.process_count(),
+                          "local_devices": jax.local_device_count(),
+                          "global_devices": jax.device_count()}))
     n_avail = len(jax.devices())
     results = []
     n = 1

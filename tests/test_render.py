@@ -173,3 +173,41 @@ def test_cam_indices_subset_matches_full_render():
         np.testing.assert_array_equal(np.asarray(f[2]), np.asarray(o[0]))
     # drone 2 looks along +x: drone 1 (global seg id 2) must be in view
     assert (np.asarray(one[2][0]) == 2).any()
+
+
+def test_drone_proxy_tracks_attitude():
+    """Round-3 X-frame proxy: a scene drone's yaw changes its silhouette
+    (the round-2 sphere proxy was rotation-invariant — no attitude signal
+    in pixels; the reference renders the cf2.dae mesh, BaseAviary.py:565)."""
+    from gym_pybullet_drones_tpu.core.rotations import euler_xyz_to_quat
+
+    pos = jnp.asarray([[0.0, 0.0, 0.3], [0.25, 0.0, 0.3]], jnp.float32)
+    masks = []
+    for yaw in (0.0, np.pi / 4):
+        quat = euler_xyz_to_quat(
+            jnp.asarray([[0.0, 0.0, 0.0], [0.0, 0.0, yaw]], jnp.float32))
+        _, _, seg = render_drone_views(pos, quat, 0.0397,
+                                       CameraConfig(with_landmarks=False))
+        masks.append(np.asarray(seg)[0] == 2)
+    assert masks[0].any() and masks[1].any()  # visible in both
+    assert (masks[0] != masks[1]).any()  # silhouette rotated with the body
+
+
+def test_block_landmark_renders_as_box():
+    """The block landmark is a flat 5x15x5 cm box (BaseRLAviary.py:108:
+    block.urdf is a literal box): seen from the -y side its silhouette is
+    ~3x wider than tall — a sphere stand-in would be ~1:1."""
+    from gym_pybullet_drones_tpu.core.rotations import euler_xyz_to_quat
+
+    # the long (y) axis must be transverse to the view: camera west of the
+    # block looking along +x (the drone camera looks along body +x)
+    pos = jnp.asarray([[0.4, 0.0, 0.1]], jnp.float32)
+    quat = euler_xyz_to_quat(jnp.asarray([[0.0, 0.0, 0.0]], jnp.float32))
+    cfg = CameraConfig(width=128, height=96)
+    _, _, seg = render_drone_views(pos, quat, 0.0397, cfg)
+    m = np.asarray(seg)[0] == 2  # N=1 -> block id 2
+    assert m.any()
+    ys, xs = np.where(m)
+    w = xs.max() - xs.min() + 1
+    h = ys.max() - ys.min() + 1
+    assert w / h > 1.8, (w, h)

@@ -121,7 +121,16 @@ class PPOConfig:
     vf_coef: float = 0.5
     max_grad_norm: float = 0.5
     n_epochs: int = 10
-    minibatch_size: int = 64
+    # None = SB3-equivalent auto-scaling: keep SB3's 32 minibatches per epoch
+    # (2048-sample batch / 64-row minibatch) whatever the env-batch width.
+    # At the SB3 shape (batch 2048) this resolves to exactly 64, so defaults
+    # are unchanged; at wide batches it removes the round-2 latency chain —
+    # 128 envs x 128 steps with 64-row minibatches was 2,560 serial tiny
+    # grad steps per update, 87 ms of pure device latency (docs/PERF.md).
+    # Updating with the same sample count in 32 larger minibatches per epoch
+    # is the standard same-compute scaling (one gradient step per 512 rows
+    # instead of 8 steps of 64); pass an explicit int to pin SB3's 64.
+    minibatch_size: Optional[int] = None
     hidden: tuple = (64, 64)
     log_std_init: float = 0.0  # initial Gaussian log-std (SB3 default 0.0)
     # Exploration-noise annealing: cap the learned log_std from above along a
@@ -139,8 +148,14 @@ class PPOConfig:
         return self.num_envs * self.n_steps
 
     @property
+    def resolved_minibatch_size(self) -> int:
+        if self.minibatch_size is not None:
+            return self.minibatch_size
+        return max(1, self.batch_size // 32)  # SB3: 32 minibatches/epoch
+
+    @property
     def num_minibatches(self) -> int:
-        return max(1, self.batch_size // self.minibatch_size)
+        return max(1, self.batch_size // self.resolved_minibatch_size)
 
 
 class Transition(NamedTuple):

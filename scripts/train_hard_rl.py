@@ -66,6 +66,10 @@ def main():
     ap.add_argument("--threshold", type=float, default=None,
                     help="override the stop-on-solve bar (e.g. to train past "
                          "the reference threshold for cross-platform margin)")
+    ap.add_argument("--init_ckpt", default=None,
+                    help="warm-start from a params msgpack (e.g. a "
+                         "checkpoints/*.msgpack trained before a renderer "
+                         "or env change) instead of random init")
     ap.add_argument("--eval_eps", type=int, default=10,
                     help="consecutive deterministic episodes per eval; raise "
                          "to select checkpoints robust to float32 chaos "
@@ -123,6 +127,14 @@ def main():
         log_std_anneal_updates=int(updates * args.anneal_frac),
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(args.seed))
+    if args.init_ckpt:
+        with open(args.init_ckpt, "rb") as f:
+            runner = runner.replace(
+                params=serialization.from_bytes(runner.params, f.read()))
+        ret0, n0 = evaluate_policy(env_cfg, aux, runner.params,
+                                   num_steps=2600, num_envs=1)
+        print(f"[init] warm-start {args.init_ckpt}: eval {ret0:.1f} "
+              f"({n0} eps)", flush=True)
     if args.bc and args.case == "rpm4":
         runner, _ = bc_pretrain(env_cfg, runner, aux,
                                 jax.random.key(args.seed + 1),

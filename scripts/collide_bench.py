@@ -50,8 +50,10 @@ def main():
             from gym_pybullet_drones_tpu.ops.swarm_soa import make_sorted_swarm
 
             order = os.environ.get("SWARM_ORDER", "z")
+            resort = int(os.environ.get("SWARM_RESORT", "4"))
             init, sstep, export = make_sorted_swarm(
-                params, 1 / 240, 5, collisions=collisions, order=order)
+                params, 1 / 240, 5, collisions=collisions, order=order,
+                resort_every=resort)
             s0 = jax.jit(init)(kin)
 
             @jax.jit

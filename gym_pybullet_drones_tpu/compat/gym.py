@@ -299,12 +299,14 @@ class BaseAviaryEnv(gym.Env):
         """Obstacle hook (BaseAviary.py:484-505, BaseRLAviary.py:99-128).
         Obstacles are static analytic bodies inside the jitted step here
         (core/collisions.rl_obstacles, enabled by AviaryConfig.collisions),
-        not URDF loads; returns the (K, 4) [x, y, z, radius] spec of the four
-        RL landmarks for introspection."""
+        not URDF loads; returns the (K, 7) [x, y, z, radius, hx, hy, hz]
+        spec of the four RL landmarks for introspection (half-extents are
+        zero for the sphere stand-ins, radius zero for the boxes)."""
         from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
 
         obs = rl_obstacles(self.cfg.jnp_dtype)
-        return np.column_stack([np.asarray(obs.pos), np.asarray(obs.radius)])
+        return np.column_stack([np.asarray(obs.pos), np.asarray(obs.radius),
+                                np.asarray(obs.half)])
 
     def _showDroneLocalAxes(self, nth_drone: int):
         """Local-axes debug draw (BaseAviary._showDroneLocalAxes, :964-980):

@@ -42,25 +42,56 @@ from flax import struct
 
 @struct.dataclass
 class ObstacleSet:
-    """Static collision spheres: centers (M, 3), radii (M,)."""
+    """Static collision bodies: sphere/box union, all shaped (M, ...).
+
+    ``half`` carries per-obstacle axis-aligned box half-extents; a zero row
+    degenerates the box to a point, making the closest-point formula reduce
+    EXACTLY to the sphere case (distance to center minus ``radius``) — one
+    branch-free code path covers both kinds, and ``radius`` doubles as the
+    rounding radius of a box (0 for the sharp RL boxes)."""
 
     pos: jax.Array
     radius: jax.Array
+    # (M, 3) box half-extents; zeros = sphere of ``radius``. None (the
+    # default, for pre-round-3 constructors) means all-spheres.
+    half: Optional[jax.Array] = None
 
 
-# The four RL landmarks (block/cube_small/duck_vhacd/teddy_vhacd,
-# BaseRLAviary.py:108-126) as spheres; radii match render/camera._LANDMARK_R.
+# The four RL landmarks (BaseRLAviary.py:108-126). block.urdf and
+# cube_small.urdf are literal boxes in pybullet_data — modeled as boxes with
+# the same dimensions the ray-caster renders (render/camera._LANDMARK_HALF),
+# so the physical and visual worlds agree; duck/teddy stay sphere stand-ins
+# for their meshes (radii match camera._LANDMARK_R).
 _RL_OBSTACLE_POS = np.array([
     [1.0, 0.0, 0.1], [0.0, 1.0, 0.1], [-1.0, 0.0, 0.1], [0.0, -1.0, 0.1],
 ])
-_RL_OBSTACLE_R = np.array([0.1, 0.05, 0.12, 0.15])
+_RL_OBSTACLE_R = np.array([0.0, 0.0, 0.12, 0.15])
+_RL_OBSTACLE_HALF = np.array([
+    [0.025, 0.075, 0.025], [0.025, 0.025, 0.025],
+    [0.0, 0.0, 0.0], [0.0, 0.0, 0.0],
+])
 
 
 def rl_obstacles(dtype=jnp.float32) -> ObstacleSet:
     return ObstacleSet(
         pos=jnp.asarray(_RL_OBSTACLE_POS, dtype=dtype),
         radius=jnp.asarray(_RL_OBSTACLE_R, dtype=dtype),
+        half=jnp.asarray(_RL_OBSTACLE_HALF, dtype=dtype),
     )
+
+
+def obstacle_closest_point(pos, obstacles: ObstacleSet):
+    """Closest point on each obstacle's core shape to each drone center.
+
+    pos: (..., N, 3) -> (..., N, M, 3). For boxes this is the clamped point
+    on/inside the box; for spheres (half = 0) it degenerates to the center,
+    so downstream 'distance minus radius' math is the sphere formula."""
+    c = obstacles.pos  # (M, 3)
+    if obstacles.half is None:  # all-spheres set
+        return jnp.broadcast_to(c, pos.shape[:-1] + c.shape)
+    lo = c - obstacles.half
+    hi = c + obstacles.half
+    return jnp.clip(pos[..., :, None, :], lo, hi)
 
 
 def resolve_drone_collisions(pos, vel, radius, *, max_push=0.01,
@@ -102,9 +133,13 @@ def resolve_drone_collisions(pos, vel, radius, *, max_push=0.01,
 
 def resolve_obstacle_collisions(pos, vel, radius, obstacles: ObstacleSet, *,
                                 max_push=0.01):
-    """Drone spheres vs static obstacle spheres: full pushout, normal-velocity
-    kill (infinite obstacle mass). pos, vel: (..., N, 3)."""
-    delta = pos[..., :, None, :] - obstacles.pos  # (..., N, M, 3)
+    """Drone spheres vs static obstacles (boxes and spheres): full pushout,
+    normal-velocity kill (infinite obstacle mass). pos, vel: (..., N, 3).
+
+    Contact is sphere-vs-rounded-box: the delta runs from the closest point
+    on the box core to the drone center; zero half-extents degenerate to the
+    sphere-vs-sphere formula exactly."""
+    delta = pos[..., :, None, :] - obstacle_closest_point(pos, obstacles)
     dist = jnp.linalg.norm(delta, axis=-1)
     min_dist = radius + obstacles.radius  # (M,) broadcast over (..., N, M)
     eps = jnp.asarray(1e-9, dtype=pos.dtype)

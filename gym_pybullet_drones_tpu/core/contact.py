@@ -349,9 +349,17 @@ def solve_contacts(
 
         n_pairs = d_mat.shape[-1]
 
-    # ---- obstacle rows (drone sphere vs static spheres) -------------------
+    # ---- obstacle rows (drone sphere vs static boxes/spheres) -------------
     if obstacles is not None:
-        delta_o = pos[..., :, None, :] - obstacles.pos  # (..., N, M, 3)
+        from gym_pybullet_drones_tpu.core.collisions import (
+            obstacle_closest_point,
+        )
+
+        # Sphere-vs-rounded-box: the normal runs from the closest point on
+        # the obstacle's box core (spheres: the center — zero half-extents
+        # degenerate exactly) to the drone center.
+        delta_o = (pos[..., :, None, :]
+                   - obstacle_closest_point(pos, obstacles))  # (..., N, M, 3)
         dist_o = jnp.linalg.norm(delta_o, axis=-1)
         n_obs = delta_o / jnp.maximum(dist_o, 1e-9)[..., None]
         d_obs = dist_o - (radius + obstacles.radius)

@@ -92,7 +92,11 @@ def test_overlapping_spawn_separates():
 
 
 def test_obstacle_blocks_drone():
-    """A drone flying straight at the block landmark cannot pass through."""
+    """A drone flying straight at the block landmark cannot pass through.
+
+    Round 3: the block is a literal box (pybullet_data block.urdf,
+    BaseRLAviary.py:108) — the drone sphere must stop at the box FACE
+    (x = 1 - half_x - collision_r), matching the rendered geometry."""
     params = drone_params(DroneModel.CF2X)
     obstacles = rl_obstacles()
     kin = init_kin_state(jnp.asarray([[0.5, 0.0, 0.1]]),
@@ -106,12 +110,12 @@ def test_obstacle_blocks_drone():
                               collisions=True, obstacles=obstacles)
         return kin
 
+    face_x = 1.0 - float(obstacles.half[0, 0])  # near face of the block box
     for _ in range(96):
         kin = step(kin)
-        d = float(jnp.linalg.norm(kin.pos[0] - obstacles.pos[0]))
-        assert d >= float(obstacles.radius[0]) + R_COLL - 5e-3
-    # Never crossed to the far side of the obstacle at x=1
-    assert float(kin.pos[0, 0]) < 1.0
+        assert float(kin.pos[0, 0]) <= face_x - R_COLL + 5e-3
+    # Parked against the face, not somewhere short of it
+    assert float(kin.pos[0, 0]) > face_x - R_COLL - 0.02
 
 
 def test_velocity_kill_is_inelastic():

@@ -212,7 +212,7 @@ def _fly(init_xyzs, init_rpys, target_fn, duration_s, ctrl_hz=48, pyb_hz=240):
 
 
 def _fly_contact(init_xyzs, init_rpys, vel0, duration_s, rpm_fn,
-                 drone_drone=False, ctrl_hz=48, pyb_hz=240):
+                 drone_drone=False, ctrl_hz=48, pyb_hz=240, mode="PYB"):
     """Contact-regime flights under the sequential-impulse solver
     (oracle.pyb_step_fleet_impulse): tumble / hard-landing-slide / collision
     goldens for VERDICT round-2 item #1."""
@@ -232,7 +232,7 @@ def _fly_contact(init_xyzs, init_rpys, vel0, duration_s, rpm_fn,
         rpm = np.asarray(rpm_fn(t), dtype=np.float64)
         pos, quat, vel, ang_v, last = pyb_step_fleet_impulse(
             pos, quat, vel, ang_v, rpm, last, c, 1.0 / pyb_hz, sub,
-            drone_drone=drone_drone)
+            drone_drone=drone_drone, mode=mode)
         out["pos"][t], out["quat"][t] = pos, quat
         out["vel"][t], out["ang_v"][t] = vel, ang_v
         out["rpm"][t] = rpm
@@ -257,6 +257,20 @@ def main():
              init_xyzs=np.array([[0.0, 0.0, 0.5]]),
              init_rpys=np.zeros((1, 3)),
              init_vel=np.array([[1.0, 0.0, 0.0]]))
+
+    # land_gnd: powered descent into ground effect under the impulse solver
+    # (PYB_GND) — the aero cushion (per-prop ground-effect forces,
+    # BaseAviary.py:715-752) interacting with the contact rows; the one
+    # regime where aero terms and the solver are simultaneously active.
+    c_l = consts(DroneModel.CF2X)
+    hov_l = c_l["hover_rpm"]
+    out = _fly_contact([[0.0, 0.0, 0.5]], [[0.0, 0.0, 0.0]],
+                       [[0.0, 0.0, 0.0]], 2.5,
+                       lambda t: np.full((1, 4), 0.95 * hov_l),
+                       mode="PYB_GND")
+    np.savez(os.path.join(HERE, "land_gnd_pyb.npz"), **out,
+             init_xyzs=np.array([[0.0, 0.0, 0.5]]),
+             init_rpys=np.zeros((1, 3)), init_vel=np.zeros((1, 3)))
 
     # collide2: head-on two-drone approach at hover thrust -> restitution-0
     # stop at sphere contact

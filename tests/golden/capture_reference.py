@@ -129,7 +129,8 @@ def capture_velocity(name, init_xyzs, action_fn, duration_s=4.0):
 
 
 def capture_contact(name, init_xyzs, init_rpys, init_vels, duration_s,
-                    rpm_mode, drone_drone=False, ctrl_hz=48, pyb_hz=240):
+                    rpm_mode, drone_drone=False, ctrl_hz=48, pyb_hz=240,
+                    physics_name="PYB"):
     """Contact-regime capture (tumble / slide / collide2 goldens): CtrlAviary
     stepped with scripted RPMs after poking initial velocities straight into
     Bullet via resetBaseVelocity (the reference constructor cannot set them).
@@ -143,7 +144,8 @@ def capture_contact(name, init_xyzs, init_rpys, init_vels, duration_s,
     env = CtrlAviary(
         drone_model=DroneModel.CF2X, num_drones=n,
         initial_xyzs=np.array(init_xyzs), initial_rpys=np.array(init_rpys),
-        physics=Physics.PYB, pyb_freq=pyb_hz, ctrl_freq=ctrl_hz, gui=False,
+        physics=getattr(Physics, physics_name),
+        pyb_freq=pyb_hz, ctrl_freq=ctrl_hz, gui=False,
     )
     env.reset(seed=42)
     for j in range(n):
@@ -155,8 +157,12 @@ def capture_contact(name, init_xyzs, init_rpys, init_vels, duration_s,
     out = {k: np.zeros((steps, n, d)) for k, d in
            [("pos", 3), ("quat", 4), ("vel", 3), ("ang_v", 3), ("rpm", 4)]}
     for t in range(steps):
-        rpm = (np.full((n, 4), hover) if rpm_mode == "hover"
-               else np.zeros((n, 4)))
+        if rpm_mode == "hover":
+            rpm = np.full((n, 4), hover)
+        elif isinstance(rpm_mode, float):
+            rpm = np.full((n, 4), rpm_mode * hover)
+        else:
+            rpm = np.zeros((n, 4))
         obs, *_ = env.step(rpm)
         for j in range(n):
             out["pos"][t, j] = obs[j][0:3]
@@ -271,6 +277,9 @@ def main():
                     [[0.0, 0.0, 0.0], [0.0, 0.0, 0.0]],
                     [[0.5, 0.0, 0.0], [-0.5, 0.0, 0.0]], 2.0, "hover",
                     drone_drone=True)
+    capture_contact("land_gnd_pyb.npz", [[0.0, 0.0, 0.5]],
+                    [[0.0, 0.0, 0.0]], [[0.0, 0.0, 0.0]], 2.5, 0.95,
+                    physics_name="PYB_GND")
     print("ALL engine-derived goldens written to", HERE)
 
 

@@ -21,10 +21,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gym_pybullet_drones_tpu.core.params import DroneParams
 
 _BT = 256
-_BS = 512
+_BS = None
 
 
-def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
+def make_collide_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
                         max_push: float = 0.01, interpret: bool = False,
                         return_delta: bool = False, z_sort=None):
     """Build `resolve(pos, vel) -> (new_pos, new_vel)` for (N, 3) fleets;
@@ -50,10 +50,11 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     min_dist = 2.0 * float(params.collision_r)
     eps = 1e-9
 
-    def make_kernel(use_sort):
-        return lambda *refs: kernel(use_sort, *refs)
+    def make_kernel(use_sort, bt_e, bs_e):
+        return lambda *refs: kernel(use_sort, bt_e, bs_e, *refs)
 
-    def kernel(use_sort, xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
+    def kernel(use_sort, bt_e, bs_e, xt, yt, zt, vxt, vyt, vzt,
+               xs, ys, zs, vxs, vys, vzs,
                dpx, dpy, dpz, dvx, dvy, dvz):
         j = pl.program_id(1)
 
@@ -97,8 +98,8 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         if use_sort:
             # z-ascending tiles: first/last elements ARE the block's z
             # bounds; skip tiles whose z-intervals are > min_dist apart.
-            live = ((zs[0, bs - 1] >= zt[0, 0] - min_dist)
-                    & (zs[0, 0] <= zt[bt - 1, 0] + min_dist))
+            live = ((zs[0, bs_e - 1] >= zt[0, 0] - min_dist)
+                    & (zs[0, 0] <= zt[bt_e - 1, 0] + min_dist))
 
             @pl.when(live)
             def _():
@@ -113,10 +114,17 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         ``src``: optional 6-tuple of source columns (Ns,) for the
         rectangular form (sharded swarm: local targets vs the all-gathered
         fleet). Default: sources = targets."""
+        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+
         Nt = x.shape[0]
         src_comps = (x, y, z, vx, vy, vz) if src is None else src
         Ns = src_comps[0].shape[0]
-        assert Nt % bt == 0 and Ns % bs == 0, (Nt, Ns, bt, bs)
+        bt_e = fit_block(bt, Nt, 8)
+        # bs None = auto: wide 1024-lane source blocks amortize grid overhead
+        # for big fleets (+18-21% measured at 65k) but lose at 4096 (VMEM
+        # pressure of (256, 1024) tiles); measured crossover ~16k.
+        bs_req = bs if bs is not None else (1024 if Ns >= 16384 else 512)
+        bs_e = fit_block(bs_req, Ns, 128)
         use_sort = (max(Nt, Ns) >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
@@ -131,15 +139,15 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
                 src_comps = [a[s_order] for a in src_comps]
         cols_t = [a.reshape(Nt, 1) for a in comps]
         cols_s = [a.reshape(1, Ns) for a in src_comps]
-        t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
+        s_spec = pl.BlockSpec((1, bs_e), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
-        o_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+        o_spec = pl.BlockSpec((bt_e, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
-            make_kernel(use_sort),
-            grid=(Nt // bt, Ns // bs),
+            make_kernel(use_sort, bt_e, bs_e),
+            grid=(Nt // bt_e, Ns // bs_e),
             in_specs=[t_spec] * 6 + [s_spec] * 6,
             out_specs=[o_spec] * 6,
             out_shape=[jax.ShapeDtypeStruct((Nt, 1), jnp.float32)] * 6,

@@ -22,7 +22,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gym_pybullet_drones_tpu.core.params import DroneParams
 
 _BT = 256  # targets per block (sublane axis)
-_BS = 512  # sources per block (lane axis)
+_BS = None  # sources per block: None = auto by fleet size (fit_block)
 
 # Fleet size above which z-sorted tile culling pays for its argsort + gather
 # + scatter overhead (measured crossover on one chip, docs/PERF.md: hurts at
@@ -30,7 +30,7 @@ _BS = 512  # sources per block (lane axis)
 Z_SORT_MIN_N = 8192
 
 
-def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
+def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
                          interpret: bool = False, z_sort=None):
     """Build `dw(pos) -> (N,)` for (N, 3) positions; N % max(bt, bs) == 0.
 
@@ -51,7 +51,7 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     # alpha = c1 * (pr / (4 dz))^2 = K / dz^2 with the constant prefolded
     K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
 
-    def make_kernel(use_sort, square):
+    def make_kernel(use_sort, square, bt_e, bs_e):
         def kernel(xt, yt, zt, xs, ys, zs, out):
             j = pl.program_id(1)
 
@@ -83,14 +83,14 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
                 # reading the z bounds out of VMEM per tile.
                 i = pl.program_id(0)
 
-                @pl.when((j + 1) * bs - 1 > i * bt)
+                @pl.when((j + 1) * bs_e - 1 > i * bt_e)
                 def _():
                     pair_math()
             elif use_sort:
                 # Rectangular (targets != sources), both sets z-ascending: a
                 # tile contributes only if its max source z (last element)
                 # exceeds its min target z (first element).
-                @pl.when(zs[0, bs - 1] > zt[0, 0])
+                @pl.when(zs[0, bs_e - 1] > zt[0, 0])
                 def _():
                     pair_math()
             else:
@@ -106,10 +106,17 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         set (Ns,) — the rectangular form used by the sharded swarm, where
         each shard's local targets read wakes from the all-gathered global
         fleet. Default: sources = targets (square all-pairs)."""
+        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+
         Nt = x.shape[0]
         xs_c, ys_c, zs_c = (x, y, z) if src is None else src
         Ns = xs_c.shape[0]
-        assert Nt % bt == 0 and Ns % bs == 0, (Nt, Ns, bt, bs)
+        bt_e = fit_block(bt, Nt, 8)
+        # bs None = auto: wide 1024-lane source blocks amortize grid overhead
+        # for big fleets (+18-21% measured at 65k) but lose at 4096 (VMEM
+        # pressure of (256, 1024) tiles); measured crossover ~16k.
+        bs_req = bs if bs is not None else (1024 if Ns >= 16384 else 512)
+        bs_e = fit_block(bs_req, Ns, 128)
         use_sort = (max(Nt, Ns) >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
@@ -129,15 +136,15 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
         xs = xs_c.reshape(1, Ns)
         ys = ys_c.reshape(1, Ns)
         zs = zs_c.reshape(1, Ns)
-        t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
+        s_spec = pl.BlockSpec((1, bs_e), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
         out = pl.pallas_call(
-            make_kernel(use_sort, src is None),
-            grid=(Nt // bt, Ns // bs),
+            make_kernel(use_sort, src is None, bt_e, bs_e),
+            grid=(Nt // bt_e, Ns // bs_e),
             in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
-            out_specs=pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+            out_specs=pl.BlockSpec((bt_e, 1), lambda i, j: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((Nt, 1), jnp.float32),
             interpret=interpret,
@@ -156,7 +163,7 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     return dw
 
 
-def make_downwash_masked(params: DroneParams, bt: int = _BT, bs: int = _BS,
+def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                          interpret: bool = False, cone: bool = True):
     """Mask-gated downwash pass for ARBITRARILY permuted fleets.
 
@@ -203,22 +210,27 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs: int = _BS,
                               keepdims=True)
 
     def dw_cols(x, y, z):
+        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+
         N = x.shape[0]
-        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        bt_e = fit_block(bt, N, 8)
+        # bs None = auto (see the z-sorted entry): 1024 lanes >= 16k fleets
+        bs_req = bs if bs is not None else (1024 if N >= 16384 else 512)
+        bs_e = fit_block(bs_req, N, 128)
         in_dtype = x.dtype
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
         # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).
-        mask = wake_live_mask(x, y, z, bt, bs, params=params,
+        mask = wake_live_mask(x, y, z, bt_e, bs_e, params=params,
                               cone=cone).reshape(-1)
-        t_spec = pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs), lambda i, j, m: (0, j),
+        s_spec = pl.BlockSpec((1, bs_e), lambda i, j, m: (0, j),
                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(N // bt, N // bs),
+            grid=(N // bt_e, N // bs_e),
             in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
-            out_specs=pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+            out_specs=pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
                                    memory_space=pltpu.VMEM),
         )
         out = pl.pallas_call(

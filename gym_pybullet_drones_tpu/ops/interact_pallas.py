@@ -34,10 +34,10 @@ from jax.experimental.pallas import tpu as pltpu
 from gym_pybullet_drones_tpu.core.params import DroneParams
 
 _BT = 256
-_BS = 512
+_BS = None
 
 
-def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
+def make_interact_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
                          max_push: float = 0.01, interpret: bool = False,
                          z_sort=None):
     """Build `interact(pos, vel) -> (dw_mag, dpos, dvel)` for (N, 3) fleets;
@@ -60,10 +60,11 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     min_dist = 2.0 * float(params.collision_r)
     eps = 1e-9
 
-    def make_kernel(use_sort):
-        return lambda *refs: kernel(use_sort, *refs)
+    def make_kernel(use_sort, bt_e, bs_e):
+        return lambda *refs: kernel(use_sort, bt_e, bs_e, *refs)
 
-    def kernel(use_sort, xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
+    def kernel(use_sort, bt_e, bs_e, xt, yt, zt, vxt, vyt, vzt,
+               xs, ys, zs, vxs, vys, vzs,
                dw, dpx, dpy, dpz, dvx, dvy, dvz):
         j = pl.program_id(1)
 
@@ -120,12 +121,12 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             # downwash_pallas — cheaper than reading z bounds per tile)
             i = pl.program_id(0)
 
-            @pl.when((j + 1) * bs - 1 > i * bt)  # dz > 0 possible
+            @pl.when((j + 1) * bs_e - 1 > i * bt_e)  # dz > 0 possible
             def _():
                 wake_math()
 
-            live = ((zs[0, bs - 1] >= zt[0, 0] - min_dist)
-                    & (zs[0, 0] <= zt[bt - 1, 0] + min_dist))
+            live = ((zs[0, bs_e - 1] >= zt[0, 0] - min_dist)
+                    & (zs[0, 0] <= zt[bt_e - 1, 0] + min_dist))
 
             @pl.when(live)  # |dz| < min_dist possible
             def _():
@@ -137,8 +138,13 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     def interact_cols(x, y, z, vx, vy, vz):
         """Column-level entry: six (N,) arrays -> (dw_mag, (dpx,dpy,dpz),
         (dvx,dvy,dvz)) column tuples (SoA swarm path)."""
+        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+
         N = x.shape[0]
-        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        bt_e = fit_block(bt, N, 8)
+        # bs None = auto (see the z-sorted entry): 1024 lanes >= 16k fleets
+        bs_req = bs if bs is not None else (1024 if N >= 16384 else 512)
+        bs_e = fit_block(bs_req, N, 128)
         use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
@@ -147,15 +153,15 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
             comps = [a[order] for a in comps]
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
-        t_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs), lambda i, j: (0, j),
+        s_spec = pl.BlockSpec((1, bs_e), lambda i, j: (0, j),
                               memory_space=pltpu.VMEM)
-        o_spec = pl.BlockSpec((bt, 1), lambda i, j: (i, 0),
+        o_spec = pl.BlockSpec((bt_e, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
         outs = pl.pallas_call(
-            make_kernel(use_sort),
-            grid=(N // bt, N // bs),
+            make_kernel(use_sort, bt_e, bs_e),
+            grid=(N // bt_e, N // bs_e),
             in_specs=[t_spec] * 6 + [s_spec] * 6,
             out_specs=[o_spec] * 7,
             out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
@@ -176,7 +182,7 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs: int = _BS,
     return interact
 
 
-def make_interact_masked(params: DroneParams, bt: int = _BT, bs: int = _BS,
+def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                          max_push: float = 0.01, interpret: bool = False,
                          cone: bool = True):
     """Mask-gated fused wake+contact pass for arbitrarily permuted fleets.
@@ -246,24 +252,29 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs: int = _BS,
             dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
 
     def interact_cols(x, y, z, vx, vy, vz):
+        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+
         N = x.shape[0]
-        assert N % bt == 0 and N % bs == 0, (N, bt, bs)
+        bt_e = fit_block(bt, N, 8)
+        # bs None = auto (see the z-sorted entry): 1024 lanes >= 16k fleets
+        bs_req = bs if bs is not None else (1024 if N >= 16384 else 512)
+        bs_e = fit_block(bs_req, N, 128)
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
         # packed wake|contact mask; rides scalar prefetch (SMEM)
-        mask = packed_live_mask(comps[0], comps[1], comps[2], bt, bs,
+        mask = packed_live_mask(comps[0], comps[1], comps[2], bt_e, bs_e,
                                 min_dist, params=params, cone=cone)
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
-        t_spec = pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
                               memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs), lambda i, j, m: (0, j),
+        s_spec = pl.BlockSpec((1, bs_e), lambda i, j, m: (0, j),
                               memory_space=pltpu.VMEM)
-        o_spec = pl.BlockSpec((bt, 1), lambda i, j, m: (i, 0),
+        o_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
                               memory_space=pltpu.VMEM)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(N // bt, N // bs),
+            grid=(N // bt_e, N // bs_e),
             in_specs=[t_spec] * 6 + [s_spec] * 6,
             out_specs=[o_spec] * 7,
         )

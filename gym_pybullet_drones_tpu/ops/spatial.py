@@ -38,6 +38,18 @@ import jax.numpy as jnp
 _CONE_Q = 2.0 * (103.3 + 60.0)
 
 
+def fit_block(b, n, floor):
+    """Largest block size <= b that divides n (halving, floored at the
+    hardware granule — 8 sublanes / 128 lanes). The pair kernels default to
+    large blocks for grid-overhead amortization (measured -18% at 65k for
+    bs 512 -> 1024) and clamp here so small fleets keep working."""
+    b = min(b, n)
+    while b > floor and n % b:
+        b //= 2
+    assert b >= floor and n % b == 0, (b, n, floor)
+    return b
+
+
 def tile_bounds(col, block):
     """(N,) column -> per-tile (min, max), each (N // block,)."""
     t = col.reshape(-1, block)

@@ -350,3 +350,40 @@ def test_sorted_swarm_matches_soa_step():
                                        np.asarray(ref_kin.vel), atol=1e-3)
             np.testing.assert_allclose(np.asarray(got.quat),
                                        np.asarray(ref_kin.quat), atol=1e-5)
+
+
+def test_spatial_helpers():
+    """ops/spatial unit coverage: fit_block divisor clamping, tile_bounds6
+    equivalence with per-column bounds, morton key spatial locality."""
+    from gym_pybullet_drones_tpu.ops.spatial import (
+        fit_block,
+        morton_key,
+        tile_bounds,
+        tile_bounds6,
+    )
+
+    assert fit_block(1024, 65536, 128) == 1024
+    assert fit_block(1024, 512, 128) == 512   # clamped to the fleet
+    assert fit_block(1024, 768, 128) == 768   # n itself is legal
+    assert fit_block(512, 768, 128) == 256    # halved until it divides
+    assert fit_block(256, 4096, 8) == 256
+
+    rng = np.random.RandomState(3)
+    x, y, z = (jnp.asarray(rng.uniform(-5, 5, 512), jnp.float32)
+               for _ in range(3))
+    b6 = tile_bounds6(x, y, z, 64)
+    for k, col in enumerate((x, y, z)):
+        lo, hi = tile_bounds(col, 64)
+        np.testing.assert_array_equal(np.asarray(b6[k]), np.asarray(lo))
+        np.testing.assert_array_equal(np.asarray(b6[k + 3]), np.asarray(hi))
+
+    # Morton locality: consecutive keys map to nearby points — the mean
+    # distance between key-adjacent points must be far below the random
+    # (shuffled) baseline.
+    key = np.asarray(morton_key(x, y, z))
+    order = np.argsort(key)
+    p = np.stack([np.asarray(c) for c in (x, y, z)], -1)[order]
+    d_sorted = np.linalg.norm(np.diff(p, axis=0), axis=1).mean()
+    d_random = np.linalg.norm(
+        np.diff(p[rng.permutation(512)], axis=0), axis=1).mean()
+    assert d_sorted < 0.4 * d_random, (d_sorted, d_random)

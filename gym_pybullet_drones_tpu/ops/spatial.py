@@ -39,15 +39,19 @@ _CONE_Q = 2.0 * (103.3 + 60.0)
 
 
 def fit_block(b, n, floor):
-    """Largest block size <= b that divides n (halving, floored at the
-    hardware granule — 8 sublanes / 128 lanes). The pair kernels default to
-    large blocks for grid-overhead amortization (measured -18% at 65k for
-    bs 512 -> 1024) and clamp here so small fleets keep working."""
+    """Largest Mosaic-legal block size <= b for an axis of length n.
+
+    Legal means: divides n AND is either a multiple of the hardware granule
+    (8 sublanes / 128 lanes) or equal to the full dimension (Pallas TPU's
+    block-shape rule). The pair kernels default to large blocks for
+    grid-overhead amortization (measured -18% at 65k for bs 512 -> 1024) and
+    clamp here so small/odd fleets (tests, dry runs) keep working."""
     b = min(b, n)
-    while b > floor and n % b:
+    while b > 1:
+        if n % b == 0 and (b % floor == 0 or b == n):
+            return b
         b //= 2
-    assert b >= floor and n % b == 0, (b, n, floor)
-    return b
+    return n  # the full dimension is always legal
 
 
 def tile_bounds(col, block):

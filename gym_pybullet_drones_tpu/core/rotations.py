@@ -120,8 +120,24 @@ def integrate_quat(quat, omega, dt, eps=1e-9):
 
     where M is the xyzw rate matrix. Exactly norm-preserving in exact
     arithmetic; the zero-rate branch is a jit-safe ``where``.
+
+    Differentiability (round 3): the norm's INPUT is guarded (small rows see
+    a unit vector — the double-where pattern), because linalg.norm has a NaN
+    gradient at w = 0 and the where cannot zero a NaN cotangent; primal
+    values on the live branch keep the round-1 goldens' exact bit pattern
+    (tests/test_differentiability.py; the zero-rate branch itself stays the
+    constant ``quat``, whose zero derivative is correct to first order only
+    at w = 0 exactly — acceptable since rotation gradients flow through
+    every non-zero-rate step).
     """
-    omega_norm = jnp.linalg.norm(omega, axis=-1, keepdims=True)
+    n2 = jnp.sum(omega * omega, axis=-1, keepdims=True)
+    small = n2 <= eps * eps
+    # Guard the norm's INPUT (not its output): linalg.norm keeps the exact
+    # bit pattern of the round-1 goldens on the live branch, while small
+    # rows see a unit vector so no NaN cotangent can leak through the where.
+    ex = jnp.zeros_like(omega).at[..., 0].set(1.0)
+    omega_norm = jnp.linalg.norm(jnp.where(small, ex, omega), axis=-1,
+                                 keepdims=True)
     p, q_, r = omega[..., 0:1], omega[..., 1:2], omega[..., 2:3]
     x, y, z, w = quat[..., 0:1], quat[..., 1:2], quat[..., 2:3], quat[..., 3:4]
     # M(w) @ quat with M rows [[0, r, -q, p], [-r, 0, p, q], [q, -p, 0, r], [-p, -q, -r, 0]]
@@ -134,7 +150,6 @@ def integrate_quat(quat, omega, dt, eps=1e-9):
         ],
         -1,
     )
-    safe_norm = jnp.maximum(omega_norm, eps)
-    theta = safe_norm * dt / 2.0
-    out = jnp.cos(theta) * quat + jnp.sin(theta) / safe_norm * mq
-    return jnp.where(omega_norm > eps, out, quat)
+    theta = omega_norm * dt / 2.0
+    out = jnp.cos(theta) * quat + jnp.sin(theta) / omega_norm * mq
+    return jnp.where(small, quat, out)

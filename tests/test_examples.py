@@ -84,3 +84,17 @@ def test_learn_multiagent_ci_budget(tmp_path):
     evals = learn.run(gui=False, plot=False, output_folder=str(tmp_path),
                       local=False, num_envs=4, multiagent=True)
     assert len(evals) >= 1 and np.isfinite(evals[-1][1])
+
+
+def test_trajopt_example(tmp_path):
+    """10th example (beyond-reference): gradient-based trajectory
+    optimization through the simulator converges to the target at rest."""
+    from gym_pybullet_drones_tpu.examples import trajopt
+
+    # 1 s horizon: a 1.1 m climb-to-rest in 0.5 s exceeds the CF2X's
+    # 2.25 thrust-to-weight envelope (infeasible optimum, not an optimizer
+    # failure)
+    err, vel = trajopt.run(duration_sec=1.0, iters=200, plot=False,
+                           output_folder=str(tmp_path))
+    assert err < 0.01, err  # within 1 cm of the target altitude
+    assert vel < 0.05, vel  # at rest

@@ -27,8 +27,9 @@ _BS = None
 def make_collide_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
                         max_push: float = 0.01, interpret: bool = False,
                         return_delta: bool = False, z_sort=None):
-    """Build `resolve(pos, vel) -> (new_pos, new_vel)` for (N, 3) fleets;
-    N % bt == 0 and N % bs == 0. With ``return_delta`` the corrections
+    """Build `resolve(pos, vel) -> (new_pos, new_vel)` for (N, 3) fleets
+    (block sizes clamp to legal divisors per call — spatial.fit_block).
+    With ``return_delta`` the corrections
     (dpos, dvel) are returned directly — callers that re-derive deltas by
     subtracting absolute outputs would lose low-order bits of mm-scale
     pushouts against large coordinates.

@@ -32,7 +32,8 @@ Z_SORT_MIN_N = 8192
 
 def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
                          interpret: bool = False, z_sort=None):
-    """Build `dw(pos) -> (N,)` for (N, 3) positions; N % max(bt, bs) == 0.
+    """Build `dw(pos) -> (N,)` for (N, 3) positions (block sizes are
+    clamped to legal divisors of the fleet per call — spatial.fit_block).
 
     ``z_sort``: internally sort the fleet by altitude before the pair pass
     (and scatter the result back). The wake mask needs dz > 0, and in

@@ -40,8 +40,8 @@ _BS = None
 def make_interact_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
                          max_push: float = 0.01, interpret: bool = False,
                          z_sort=None):
-    """Build `interact(pos, vel) -> (dw_mag, dpos, dvel)` for (N, 3) fleets;
-    N % bt == 0 and N % bs == 0.
+    """Build `interact(pos, vel) -> (dw_mag, dpos, dvel)` for (N, 3) fleets
+    (block sizes clamp to legal divisors per call — spatial.fit_block).
 
     ``z_sort``: internally sort by altitude and scatter results back. Two
     exact tile-level culls then apply (see downwash_pallas / collide_pallas

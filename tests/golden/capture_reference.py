@@ -8,6 +8,14 @@ this directory **from the actual engine** instead of the NumPy oracle
 tests/test_golden_pyb.py runs unchanged against engine-derived files — flipping
 the tolerance spec from oracle-derived to engine-derived (docs/PYB_DERIVATION.md §6).
 
+Engine captures are written to tests/golden/engine/ (NOT over the oracle
+files): the oracle goldens anchor this repo's kernels at float64 round-off,
+while engine files anchor *behavior* — the dedicated comparison suite
+(tests/test_engine_parity.py, auto-skipped when engine/ is absent) asserts
+coarse physical bounds and PRINTS the measured oracle-vs-engine deviations,
+so the first networked run produces the calibration table for
+docs/PYB_DERIVATION.md instead of tripping round-off-scale asserts.
+
 Usage:
     PYTHONPATH=/path/to/gym-pybullet-drones python tests/golden/capture_reference.py
 
@@ -20,7 +28,8 @@ import os
 
 import numpy as np
 
-HERE = os.path.dirname(os.path.abspath(__file__))
+HERE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "engine")
+os.makedirs(HERE, exist_ok=True)
 
 
 def _require_reference():

@@ -180,6 +180,12 @@ class BFRatePID:
 
     def update(self, t, setpoint_dps, gyro_dps):
         """pidSum/1000 per axis — the mixer-scale correction vector."""
+        if self._prev_t is None:
+            # Seed the derivative histories on the first armed frame so a
+            # mid-rotation arm does not kick a full-scale D/FF transient
+            # (real Betaflight's gyro history predates arming).
+            self._prev_gyro = np.array(gyro_dps, dtype=float)
+            self._prev_sp = np.array(setpoint_dps, dtype=float)
         if self._prev_t is None or t <= self._prev_t:
             dt = 1.0 / 500.0
         else:

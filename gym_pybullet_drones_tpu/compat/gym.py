@@ -130,9 +130,12 @@ class BaseAviaryEnv(gym.Env):
         self._custom_action = (
             type(self)._preprocessAction is not BaseAviaryEnv._preprocessAction
         )
-        if self._custom_action or (gui and user_debug_gui):
+        if self._custom_action or gui:
             # Also needed for the GUI-RPM input switch (reference
-            # BaseAviary.py:320-333: slider RPMs bypass _preprocessAction).
+            # BaseAviary.py:320-333: slider RPMs bypass _preprocessAction) —
+            # built for ANY gui env, not just user_debug_gui, because
+            # LiveViewer.set_gui_rpm() can engage the switch programmatically
+            # on a viewer created without sliders.
             self._jit_step_rpm = jax.jit(
                 lambda s, a, rpm: envbase.step(
                     self.cfg, self.params, self.ctrl_params, self.target_pos,

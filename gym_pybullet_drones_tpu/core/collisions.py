@@ -58,10 +58,11 @@ class ObstacleSet:
 
 
 # The four RL landmarks (BaseRLAviary.py:108-126). block.urdf and
-# cube_small.urdf are literal boxes in pybullet_data — modeled as boxes with
-# the same dimensions the ray-caster renders (render/camera._LANDMARK_HALF),
-# so the physical and visual worlds agree; duck/teddy stay sphere stand-ins
-# for their meshes (radii match camera._LANDMARK_R).
+# cube_small.urdf are literal boxes in pybullet_data; duck/teddy stay sphere
+# stand-ins for their meshes. SINGLE source of truth for landmark geometry:
+# render/camera.py imports these tables, so the physical and visual worlds
+# agree by construction (box half-extents are best-known pybullet_data
+# values; the engine-goldens CI job is the calibration path).
 _RL_OBSTACLE_POS = np.array([
     [1.0, 0.0, 0.1], [0.0, 1.0, 0.1], [-1.0, 0.0, 0.1], [0.0, -1.0, 0.1],
 ])
@@ -92,6 +93,24 @@ def obstacle_closest_point(pos, obstacles: ObstacleSet):
     lo = c - obstacles.half
     hi = c + obstacles.half
     return jnp.clip(pos[..., :, None, :], lo, hi)
+
+
+def obstacle_delta(pos, obstacles: ObstacleSet):
+    """Contact delta from each obstacle toward each drone center plus the
+    center-inside-core mask: ((..., N, M, 3), (..., N, M)).
+
+    Normally ``pos - closest_point`` (zero half-extents degenerate to the
+    sphere formula). A drone center INSIDE a box core would give a zero
+    delta — and thus a zero contact normal, silently disabling pushout
+    (possible for >~14 m/s crossings of the 6 cm shell in one 1/240 s
+    substep, or spawns inside a landmark); those points fall back to the
+    direction from the box CENTER for the normal, and the ``inside`` mask
+    lets consumers treat the separation as fully penetrating (distance 0)
+    rather than measuring the center-to-center distance."""
+    delta = pos[..., :, None, :] - obstacle_closest_point(pos, obstacles)
+    inside = jnp.sum(delta * delta, axis=-1, keepdims=True) < 1e-18
+    delta_fb = pos[..., :, None, :] - obstacles.pos
+    return jnp.where(inside, delta_fb, delta), inside[..., 0]
 
 
 def resolve_drone_collisions(pos, vel, radius, *, max_push=0.01,
@@ -137,14 +156,17 @@ def resolve_obstacle_collisions(pos, vel, radius, obstacles: ObstacleSet, *,
     normal-velocity kill (infinite obstacle mass). pos, vel: (..., N, 3).
 
     Contact is sphere-vs-rounded-box: the delta runs from the closest point
-    on the box core to the drone center; zero half-extents degenerate to the
-    sphere-vs-sphere formula exactly."""
-    delta = pos[..., :, None, :] - obstacle_closest_point(pos, obstacles)
-    dist = jnp.linalg.norm(delta, axis=-1)
+    on the box core to the drone center (center-inside-box fallback in
+    obstacle_delta); zero half-extents degenerate to the sphere-vs-sphere
+    formula exactly."""
+    delta, inside = obstacle_delta(pos, obstacles)
+    raw_dist = jnp.linalg.norm(delta, axis=-1)  # fallback delta: nonzero
+    dist = jnp.where(inside, 0.0, raw_dist)  # inside the core: full overlap
     min_dist = radius + obstacles.radius  # (M,) broadcast over (..., N, M)
     eps = jnp.asarray(1e-9, dtype=pos.dtype)
-    overlap = jnp.where((dist < min_dist) & (dist > eps), min_dist - dist, 0.0)
-    safe_dist = jnp.maximum(dist, eps)
+    overlap = jnp.where(inside | ((dist < min_dist) & (dist > eps)),
+                        min_dist - dist, 0.0)
+    safe_dist = jnp.maximum(raw_dist, eps)
     normal = delta / safe_dist[..., None]  # away from obstacle center
 
     push = jnp.minimum(overlap, max_push)

@@ -137,7 +137,8 @@ def solve_contacts(
 
     pos/quat/vel/ang_v: (..., N, dim) PRE-integration pose with the
     force-integrated (unconstrained) velocities. ``obstacles`` is an
-    ``ObstacleSet`` (core/collisions.py) of static spheres. ``other_pos`` /
+    ``ObstacleSet`` (core/collisions.py) of static bodies — boxes
+    (nonzero half-extents; closest-point contact) and spheres. ``other_pos`` /
     ``other_vel`` optionally supply cross-shard partner drones for the pair
     rows (sharded swarms; Jacobi mode only, the partners' own velocities are
     corrected on their home shard).
@@ -351,17 +352,17 @@ def solve_contacts(
 
     # ---- obstacle rows (drone sphere vs static boxes/spheres) -------------
     if obstacles is not None:
-        from gym_pybullet_drones_tpu.core.collisions import (
-            obstacle_closest_point,
-        )
+        from gym_pybullet_drones_tpu.core.collisions import obstacle_delta
 
         # Sphere-vs-rounded-box: the normal runs from the closest point on
         # the obstacle's box core (spheres: the center — zero half-extents
-        # degenerate exactly) to the drone center.
-        delta_o = (pos[..., :, None, :]
-                   - obstacle_closest_point(pos, obstacles))  # (..., N, M, 3)
-        dist_o = jnp.linalg.norm(delta_o, axis=-1)
-        n_obs = delta_o / jnp.maximum(dist_o, 1e-9)[..., None]
+        # degenerate exactly) to the drone center; centers INSIDE a box core
+        # fall back to the center direction with full penetration depth
+        # (obstacle_delta docstring).
+        delta_o, inside_o = obstacle_delta(pos, obstacles)  # (..., N, M, 3)
+        raw_dist_o = jnp.linalg.norm(delta_o, axis=-1)  # fallback: nonzero
+        dist_o = jnp.where(inside_o, 0.0, raw_dist_o)
+        n_obs = delta_o / jnp.maximum(raw_dist_o, 1e-9)[..., None]
         d_obs = dist_o - (radius + obstacles.radius)
         act_obs = (d_obs < breaking).astype(dtype)
         tgt_obs = _target_vn(d_obs, dt, erp, slop)

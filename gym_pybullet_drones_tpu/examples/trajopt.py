@@ -24,6 +24,9 @@ import jax.numpy as jnp
 
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     jax.config.update("jax_platforms", "cpu")
+# The gradient chain spans ~240 substeps: float32 drifts (CLAUDE.md budget
+# notes); enable x64 when run standalone (tests get it from conftest).
+jax.config.update("jax_enable_x64", True)
 
 from gym_pybullet_drones_tpu.core.dynamics import init_kin_state, step_physics
 from gym_pybullet_drones_tpu.core.params import drone_params

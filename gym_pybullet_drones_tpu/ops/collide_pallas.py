@@ -115,17 +115,13 @@ def make_collide_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
         ``src``: optional 6-tuple of source columns (Ns,) for the
         rectangular form (sharded swarm: local targets vs the all-gathered
         fleet). Default: sources = targets."""
-        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
 
         Nt = x.shape[0]
         src_comps = (x, y, z, vx, vy, vz) if src is None else src
         Ns = src_comps[0].shape[0]
         bt_e = fit_block(bt, Nt, 8)
-        # bs None = auto: wide 1024-lane source blocks amortize grid overhead
-        # for big fleets (+18-21% measured at 65k) but lose at 4096 (VMEM
-        # pressure of (256, 1024) tiles); measured crossover ~16k.
-        bs_req = bs if bs is not None else (1024 if Ns >= 16384 else 512)
-        bs_e = fit_block(bs_req, Ns, 128)
+        bs_e = fit_block(auto_bs(bs, Ns), Ns, 128)
         use_sort = (max(Nt, Ns) >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]

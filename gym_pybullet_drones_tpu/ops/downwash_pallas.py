@@ -107,17 +107,13 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
         set (Ns,) — the rectangular form used by the sharded swarm, where
         each shard's local targets read wakes from the all-gathered global
         fleet. Default: sources = targets (square all-pairs)."""
-        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
 
         Nt = x.shape[0]
         xs_c, ys_c, zs_c = (x, y, z) if src is None else src
         Ns = xs_c.shape[0]
         bt_e = fit_block(bt, Nt, 8)
-        # bs None = auto: wide 1024-lane source blocks amortize grid overhead
-        # for big fleets (+18-21% measured at 65k) but lose at 4096 (VMEM
-        # pressure of (256, 1024) tiles); measured crossover ~16k.
-        bs_req = bs if bs is not None else (1024 if Ns >= 16384 else 512)
-        bs_e = fit_block(bs_req, Ns, 128)
+        bs_e = fit_block(auto_bs(bs, Ns), Ns, 128)
         use_sort = (max(Nt, Ns) >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
@@ -211,13 +207,11 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                               keepdims=True)
 
     def dw_cols(x, y, z):
-        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
 
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
-        # bs None = auto (see the z-sorted entry): 1024 lanes >= 16k fleets
-        bs_req = bs if bs is not None else (1024 if N >= 16384 else 512)
-        bs_e = fit_block(bs_req, N, 128)
+        bs_e = fit_block(auto_bs(bs, N), N, 128)
         in_dtype = x.dtype
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
         # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).

@@ -138,13 +138,11 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
     def interact_cols(x, y, z, vx, vy, vz):
         """Column-level entry: six (N,) arrays -> (dw_mag, (dpx,dpy,dpz),
         (dvx,dvy,dvz)) column tuples (SoA swarm path)."""
-        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
 
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
-        # bs None = auto (see the z-sorted entry): 1024 lanes >= 16k fleets
-        bs_req = bs if bs is not None else (1024 if N >= 16384 else 512)
-        bs_e = fit_block(bs_req, N, 128)
+        bs_e = fit_block(auto_bs(bs, N), N, 128)
         use_sort = (N >= Z_SORT_MIN_N) if z_sort is None else z_sort
         in_dtype = x.dtype  # kernel is f32; cast in and back out
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
@@ -252,13 +250,11 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
             dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
 
     def interact_cols(x, y, z, vx, vy, vz):
-        from gym_pybullet_drones_tpu.ops.spatial import fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
 
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
-        # bs None = auto (see the z-sorted entry): 1024 lanes >= 16k fleets
-        bs_req = bs if bs is not None else (1024 if N >= 16384 else 512)
-        bs_e = fit_block(bs_req, N, 128)
+        bs_e = fit_block(auto_bs(bs, N), N, 128)
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
         # packed wake|contact mask; rides scalar prefetch (SMEM)

@@ -45,13 +45,28 @@ def fit_block(b, n, floor):
     (8 sublanes / 128 lanes) or equal to the full dimension (Pallas TPU's
     block-shape rule). The pair kernels default to large blocks for
     grid-overhead amortization (measured -18% at 65k for bs 512 -> 1024) and
-    clamp here so small/odd fleets (tests, dry runs) keep working."""
+    clamp here so small/odd fleets (tests, dry runs) keep working. The
+    search walks granule multiples downward (not halving), so e.g.
+    fit_block(512, 768, 128) returns 384, the true largest legal divisor."""
     b = min(b, n)
-    while b > 1:
-        if n % b == 0 and (b % floor == 0 or b == n):
-            return b
-        b //= 2
+    if n % b == 0 and (b % floor == 0 or b == n):
+        return b
+    for cand in range((b // floor) * floor, floor - 1, -floor):
+        if n % cand == 0:
+            return cand
     return n  # the full dimension is always legal
+
+
+def auto_bs(bs, n):
+    """Source-block lane width: explicit value, or the size-adaptive default.
+
+    Wide 1024-lane source blocks amortize grid overhead for big fleets
+    (+18-21% measured at 65k) but lose at 4096 ((256, 1024) tiles pressure
+    VMEM); the measured crossover is ~16k. ONE definition for the five pair
+    -kernel entry points — retune here, not per kernel."""
+    if bs is not None:
+        return bs
+    return 1024 if n >= 16384 else 512
 
 
 def tile_bounds(col, block):

@@ -41,18 +41,20 @@ from gym_pybullet_drones_tpu.envs.spec import ImageType
 # The reference's four landmarks (BaseRLAviary.py:108-126). block.urdf and
 # cube_small.urdf are literal boxes in pybullet_data, rendered here as
 # ray-cast boxes; duck_vhacd/teddy_vhacd are meshes, kept as sphere
-# stand-ins. Box half-extents are best-known pybullet_data values (the
-# engine-goldens CI job is the calibration path): cube_small is the 5 cm
-# cube; block is a flat 5 x 15 x 5 cm bar.
-_LANDMARKS = np.array([
-    [1.0, 0.0, 0.1], [0.0, 1.0, 0.1], [-1.0, 0.0, 0.1], [0.0, -1.0, 0.1],
-])
-_LANDMARK_KIND = ("box", "box", "sphere", "sphere")
-_LANDMARK_HALF = np.array([
-    [0.025, 0.075, 0.025], [0.025, 0.025, 0.025],
-    [0.0, 0.0, 0.0], [0.0, 0.0, 0.0],  # unused for spheres
-])
-_LANDMARK_R = np.array([0.1, 0.05, 0.12, 0.15])
+# stand-ins. Geometry (positions / radii / box half-extents) is imported
+# from core/collisions — ONE source of truth so the physical and visual
+# worlds cannot desynchronize when the engine-goldens CI calibrates the
+# best-known pybullet_data dimensions; only colors are render-local.
+from gym_pybullet_drones_tpu.core.collisions import (  # noqa: E402
+    _RL_OBSTACLE_HALF as _LANDMARK_HALF,
+    _RL_OBSTACLE_POS as _LANDMARKS,
+)
+from gym_pybullet_drones_tpu.core.collisions import (  # noqa: E402
+    _RL_OBSTACLE_R as _LANDMARK_R,
+)
+
+_LANDMARK_KIND = tuple(
+    "box" if _LANDMARK_HALF[k].any() else "sphere" for k in range(4))
 _LANDMARK_RGB = np.array([
     [200, 60, 60], [90, 90, 220], [240, 210, 60], [170, 110, 70],
 ])

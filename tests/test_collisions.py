@@ -444,3 +444,33 @@ def test_grounded_drone_under_wake_pressed_parity():
                                np.asarray(dense.ang_v), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.pos), np.asarray(dense.pos),
                                atol=1e-5)
+
+
+def test_drone_center_inside_box_is_pushed_out():
+    """Review finding (round 3): a drone center INSIDE a box core must not
+    produce a zero contact normal — the center-direction fallback pushes it
+    out in both contact models instead of leaving a dead contact."""
+    from gym_pybullet_drones_tpu.core.collisions import (
+        resolve_obstacle_collisions,
+        rl_obstacles,
+    )
+    from gym_pybullet_drones_tpu.core.contact import solve_contacts
+
+    obstacles = rl_obstacles(jnp.float64)
+    # inside the block box core at [1, 0, 0.1] (half 0.025/0.075/0.025),
+    # offset toward +y so the fallback direction is well defined
+    pos = jnp.asarray([[1.0, 0.04, 0.1]], jnp.float64)
+    vel = jnp.zeros((1, 3), jnp.float64)
+
+    p2, v2 = resolve_obstacle_collisions(pos, vel, 0.06, obstacles)
+    push = np.asarray(p2 - pos)[0]
+    assert np.linalg.norm(push) > 1e-4, push  # pushout engaged
+    assert push[1] > 0  # along the fallback (+y center direction)
+
+    params = drone_params(DroneModel.CF2X)
+    quat = jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float64)
+    v3, _ = solve_contacts(pos, quat, jnp.zeros((1, 3), jnp.float64),
+                           jnp.zeros((1, 3), jnp.float64),
+                           drone_params(DroneModel.CF2X, dtype=jnp.float64),
+                           1 / 240, obstacles=obstacles)
+    assert float(v3[0, 1]) > 0.01, np.asarray(v3)  # separating impulse fired

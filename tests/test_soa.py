@@ -365,7 +365,7 @@ def test_spatial_helpers():
     assert fit_block(1024, 65536, 128) == 1024
     assert fit_block(1024, 512, 128) == 512   # clamped to the fleet
     assert fit_block(1024, 768, 128) == 768   # n itself is legal
-    assert fit_block(512, 768, 128) == 256    # halved until it divides
+    assert fit_block(512, 768, 128) == 384    # largest legal divisor
     assert fit_block(256, 4096, 8) == 256
 
     rng = np.random.RandomState(3)

@@ -300,6 +300,13 @@ class BaseAviaryEnv(gym.Env):
 
     def _addObstacles(self):
         """Obstacle hook (BaseAviary.py:484-505, BaseRLAviary.py:99-128).
+
+        Scope note: this returns the RL landmark set (the only obstacle
+        world any reference task uses). BaseAviary's OWN `_addObstacles`
+        (samurai/duck/cube_no_rotation/sphere2, BaseAviary.py:498-521) is
+        reachable only by passing obstacles=True to a non-RL env — dead in
+        every reference example/test — and is not replicated; subclasses
+        wanting custom scenery override this hook as in the reference.
         Obstacles are static analytic bodies inside the jitted step here
         (core/collisions.rl_obstacles, enabled by AviaryConfig.collisions),
         not URDF loads; returns the (K, 7) [x, y, z, radius, hx, hy, hz]

@@ -345,6 +345,12 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         def epoch_body(carry, key):
             params, opt_state = carry
             perm = jax.random.permutation(key, bsz)
+            # Per-minibatch index gathers, NOT a whole-batch shuffle: measured
+            # (round 3, 8192 envs) the update is bound by the minibatch
+            # fwd+bwd itself (1.38 of the 1.43 ms step — skinny 64-wide f32
+            # matmuls pack the MXU at a few percent), and an epoch-level
+            # shuffle ADDS ~23 ms/epoch of gather traffic (478 -> 705 ms per
+            # train step) for identical minibatch contents.
 
             def mb_body(carry, idx):
                 params, opt_state = carry

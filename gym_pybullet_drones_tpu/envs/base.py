@@ -339,7 +339,7 @@ def drone_state_vector(cfg: AviaryConfig, state: AviaryState):
     )
 
 
-def compute_obs(cfg: AviaryConfig, state: AviaryState, params: DroneParams = None):
+def compute_obs(cfg: AviaryConfig, state: AviaryState):
     if cfg.task in (TASK_CTRL, TASK_VELOCITY):
         return drone_state_vector(cfg, state)  # (N, 20)
     if cfg.obs_type == ObservationType.RGB:
@@ -443,10 +443,11 @@ def step(
     task's obs/reward/termination rules still apply — the hook for user
     subclasses that override the reference's ``_preprocessAction``
     (BaseAviary.py:349-372 feeds `_physics` whatever that override returns).
-    On that path ``action`` may have ANY shape (a custom ``_actionSpace``);
-    it feeds the action buffer only when its size matches the built-in
-    (num_drones, action_dim) layout — a custom-shaped action leaves the
-    buffer untouched (the typed device buffer cannot hold foreign shapes).
+    On that path ``action`` may have ANY shape (a custom ``_actionSpace``)
+    and the action buffer is NOT updated: the reference's buffer append
+    lives INSIDE BaseRLAviary._preprocessAction (BaseRLAviary.py:185-188),
+    so an override replaces it — appending here would put rows in the KIN
+    observations that the reference never would.
     """
     action = jnp.asarray(action, dtype=cfg.jnp_dtype)
     builtin_layout = action.size == cfg.num_drones * cfg.action_dim
@@ -457,7 +458,8 @@ def step(
             f"action of size {action.size} does not fit the "
             f"({cfg.num_drones}, {cfg.action_dim}) action layout; custom "
             "action shapes require preprocessed_rpm (_preprocessAction hook)")
-    if cfg.action_buffer_size > 0 and builtin_layout:
+    if (cfg.action_buffer_size > 0 and builtin_layout
+            and preprocessed_rpm is None):
         buf = jnp.concatenate([state.action_buffer[1:], action[None]], axis=0)
         state = state.replace(action_buffer=buf)
     if preprocessed_rpm is None:
@@ -504,7 +506,7 @@ def step(
 
         frames = jax.lax.cond(capture, _fresh, lambda kin: state.rgb_frames, kin)
         state = state.replace(rgb_frames=frames)
-    obs = compute_obs(cfg, state, params)
+    obs = compute_obs(cfg, state)
     reward = compute_reward(cfg, state, target_pos)
     terminated = compute_terminated(cfg, state, target_pos)
     truncated = compute_truncated(cfg, state)
@@ -541,7 +543,15 @@ class Aviary:
 
     def reset(self) -> tuple[AviaryState, jax.Array]:
         state = self.reset_fn()
-        return state, compute_obs(self.cfg, state)
+        obs = compute_obs(self.cfg, state)
+        if self.cfg.obs_type == ObservationType.RGB:
+            # compute_obs returns state.rgb_frames ITSELF for RGB configs;
+            # handing callers two pytrees sharing one device buffer trips
+            # "donate the same buffer twice" under donate_argnums (the
+            # CLAUDE.md aliasing class, patched ad hoc in ppo_init before
+            # this copy lived here).
+            obs = jnp.array(obs)
+        return state, obs
 
     def step(self, state: AviaryState, action):
         return self._jit_step(state, action)

@@ -68,7 +68,12 @@ class CnnActorCritic(nn.Module):
     Input (E, N, H, W, 4) uint8 drone-POV frames; each drone's frame passes
     through a NatureCNN feature extractor (32x8s4 / 64x4s2 / 64x3s1 -> 512,
     the SB3 CnnPolicy default), features concatenate across drones, then the
-    usual separate pi/vf MLP heads."""
+    usual separate pi/vf MLP heads.
+
+    The pi/vf head code deliberately repeats ActorCritic's: factoring the
+    heads into a shared submodule would change the flax parameter paths and
+    invalidate every committed checkpoint in checkpoints/ (the round-3
+    review weighed the cleanup and kept serialization compatibility)."""
 
     action_dim: int
     hidden: Sequence[int] = (64, 64)
@@ -155,7 +160,16 @@ class PPOConfig:
 
     @property
     def num_minibatches(self) -> int:
-        return max(1, self.batch_size // self.resolved_minibatch_size)
+        # Static shapes cannot process SB3's trailing partial minibatch, so
+        # non-divisors are an error rather than silent sample dropping
+        # (an explicit 100-row request against a 2048 batch would otherwise
+        # quietly become 102 rows with 8 samples never visited per epoch).
+        if self.batch_size % self.resolved_minibatch_size != 0:
+            raise ValueError(
+                f"minibatch_size {self.resolved_minibatch_size} must divide "
+                f"batch_size {self.batch_size} (= num_envs * n_steps); SB3's "
+                "partial trailing minibatch has no static-shape equivalent")
+        return self.batch_size // self.resolved_minibatch_size
 
 
 class Transition(NamedTuple):
@@ -458,7 +472,7 @@ def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
     completed episodes) — the analogue of SB3's `evaluate_policy`
     (learn.py:149-152)."""
     env_state = batch_reset(env_cfg, aux["params_env"], num_envs)
-    obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s, aux["params_env"]))(env_state)
+    obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
     rng = jax.random.key(0) if rng is None else rng
     run = _eval_run_fn(env_cfg, aux, num_steps, num_envs, deterministic)
     rewards, dones = run(params, env_state, obs, rng)
@@ -498,7 +512,7 @@ def deterministic_rollout(env_cfg: AviaryConfig, aux, params, num_steps: int):
             s, o2, r, t, tr = envbase.step(env_cfg, params_env, ctrl_params,
                                            target_pos, s, act)
             return (s, o2), (envbase.drone_state_vector(env_cfg, s), r)
-        o0 = envbase.compute_obs(env_cfg, state, params_env)
+        o0 = envbase.compute_obs(env_cfg, state)
         (_, _), (states, rewards) = jax.lax.scan(body, (state, o0), None,
                                                  length=num_steps)
         return states, rewards

@@ -70,7 +70,7 @@ def bc_pretrain(env_cfg, runner, aux, rng, *, episodes=768, noise=0.25,
 
         def body(carry, k):
             env_state, cs = carry
-            obs = envbase.compute_obs(env_cfg, env_state, params_env)
+            obs = envbase.compute_obs(env_cfg, env_state)
             a_exp, cs = expert(env_state, cs)
             mean, _, _ = net.apply(policy_params, obs.reshape(1, -1))
             a_drive = jnp.where(use_policy, mean.reshape(a_exp.shape), a_exp)

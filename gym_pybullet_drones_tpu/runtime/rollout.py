@@ -131,6 +131,17 @@ def make_batched_step(cfg: AviaryConfig, params, ctrl_params, target_pos,
             # time-limit bootstrap (rl/ppo.py).
             obs = tree_where(unhealthy, jnp.broadcast_to(init_obs, obs.shape), obs)
         if not auto_reset:
+            if reset_on_nan:
+                # Health must restore state sanity even without episode
+                # auto-reset: otherwise a NaN env would FREEZE (masked obs,
+                # terminated=True on every later step), silently corrupting
+                # episode statistics. Normal terminations stay un-reset —
+                # auto_reset=False keeps its meaning for episode logic.
+                unhealthy = ~env_health(new_state)
+                fresh = jax.tree.map(
+                    lambda x: jnp.broadcast_to(x, (obs.shape[0],) + x.shape),
+                    init_state)
+                new_state = tree_where(unhealthy, fresh, new_state)
             return new_state, StepOutput(obs, reward, term, trunc, obs)
         done = term | trunc
         fresh = jax.tree.map(

@@ -94,7 +94,10 @@ def run(
     anneal_to = ((-2.0 if multiagent else -3.0) if hard_rpm
                  else -2.5 if act == ActionType.ONE_D_RPM else None)
     ppo_cfg = PPOConfig(
-        num_envs=num_envs, n_steps=128, minibatch_size=1024,
+        num_envs=num_envs, n_steps=128,
+        # 1024 amortizes per-dispatch latency on TPU (docs/PERF.md) but must
+        # divide the batch — the CI budget runs num_envs=4 (batch 512).
+        minibatch_size=min(1024, num_envs * 128),
         learning_rate=1e-4 if hard_rpm else 3e-4,
         hidden=(256, 256) if (hard_rpm and multiagent) else (64, 64),
         log_std_anneal_to=anneal_to,

@@ -116,7 +116,8 @@ def main():
         threshold = args.threshold
     updates = max(1, total // (num_envs * 128))
     ppo_cfg = PPOConfig(
-        num_envs=num_envs, n_steps=128, minibatch_size=1024,
+        num_envs=num_envs, n_steps=128,
+        minibatch_size=min(1024, num_envs * 128),
         learning_rate=args.lr, hidden=(args.hidden, args.hidden),
         # RGB-single solved without annealing; the multiagent pixel bar
         # (949.5 vs joint optimum 950.61) leaves ~1 reward of headroom, so

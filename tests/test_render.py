@@ -110,7 +110,7 @@ def test_rgb_capture_frequency_holds_frames():
     ctrl_params = envbase.build_ctrl_params(cfg)
     target = envbase.hover_target_pos(cfg, params)
     state = envbase.reset(cfg, params)
-    obs0 = envbase.compute_obs(cfg, state, params)
+    obs0 = envbase.compute_obs(cfg, state)
     step = jax.jit(lambda s, a: envbase.step(cfg, params, ctrl_params,
                                              target, s, a))
     action = jnp.asarray([[0.4]])  # climb -> the view changes between captures

@@ -161,7 +161,8 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
 
 
 def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
-                         interpret: bool = False, cone: bool = True):
+                         interpret: bool = False, cone: bool = True,
+                         neighbor_cap=None):
     """Mask-gated downwash pass for ARBITRARILY permuted fleets.
 
     Round-3 variant (VERDICT r2 item #3): instead of sorting around every
@@ -175,6 +176,16 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     and on spread-out fleets the xy terms cull far more than the z triangle.
     Masks gate whole tiles; per-pair masks inside live tiles are unchanged,
     so results match the dense path wherever the sorted kernels do.
+
+    ``neighbor_cap`` (round-4 cell-list path, VERDICT r3 item #3): compact
+    each target row's live source tiles (ops/spatial.compact_live_tiles) and
+    run a (nt, cap) grid whose source blocks are PREFETCH-INDEXED — dead
+    tiles are never enumerated, so the tile size can shrink to the
+    culling-optimal value (pass bt/bs explicitly, e.g. (256, 128)) without
+    dense-grid overhead. True = auto cap (spatial.auto_nbr_cap); an int pins
+    it. Rows keep ascending source order -> results are BIT-IDENTICAL to the
+    dense masked grid at equal (bt, bs); if any row exceeds the cap the pass
+    falls back to the dense masked grid under lax.cond (exact, never drops).
     """
     from gym_pybullet_drones_tpu.ops.spatial import wake_live_mask
 
@@ -191,7 +202,9 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         def _():
             out[:] = jnp.zeros_like(out)
 
-        @pl.when(mask_ref[i * ns + j] != 0)
+        # Gate on bit 0 so the same kernel serves the dense masked grid
+        # (values 0/1) and the neighbor-compacted grid (values idx<<2|bit).
+        @pl.when(mask_ref[i * ns + j] & 1 != 0)
         def _():
             dx = xs[:] - xt[:]
             dy = ys[:] - yt[:]
@@ -207,7 +220,12 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                               keepdims=True)
 
     def dw_cols(x, y, z):
-        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import (
+            auto_bs,
+            auto_nbr_cap,
+            compact_live_tiles,
+            fit_block,
+        )
 
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
@@ -217,24 +235,41 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).
         mask = wake_live_mask(x, y, z, bt_e, bs_e, params=params,
                               cone=cone).reshape(-1)
-        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
-                              memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs_e), lambda i, j, m: (0, j),
-                              memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(N // bt_e, N // bs_e),
-            in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
-            out_specs=pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
-                                   memory_space=pltpu.VMEM),
-        )
-        out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
-            interpret=interpret,
-        )(mask, x.reshape(N, 1), y.reshape(N, 1), z.reshape(N, 1),
-          x.reshape(1, N), y.reshape(1, N), z.reshape(1, N))
+        args = (x.reshape(N, 1), y.reshape(N, 1), z.reshape(N, 1),
+                x.reshape(1, N), y.reshape(1, N), z.reshape(1, N))
+
+        def run(grid, prefetch, s_index):
+            t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
+                                  memory_space=pltpu.VMEM)
+            s_spec = pl.BlockSpec((1, bs_e), s_index,
+                                  memory_space=pltpu.VMEM)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[t_spec, t_spec, t_spec, s_spec, s_spec, s_spec],
+                out_specs=pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            )
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct((N, 1), jnp.float32),
+                interpret=interpret,
+            )(prefetch, *args)
+
+        nt, ns = N // bt_e, N // bs_e
+        if neighbor_cap is None:
+            out = run((nt, ns), mask, lambda i, j, m: (0, j))
+        else:
+            cap = auto_nbr_cap(ns) if neighbor_cap is True else neighbor_cap
+            cap = min(cap, ns)
+            idx, count_max = compact_live_tiles(mask, nt, ns, cap)
+            out = jax.lax.cond(
+                count_max > cap,
+                lambda: run((nt, ns), mask, lambda i, j, m: (0, j)),
+                lambda: run((nt, cap), idx,
+                            lambda i, j, m: (0, m[i * cap + j] >> 2)),
+            )
         return out[:, 0].astype(in_dtype)
 
     def dw(pos):

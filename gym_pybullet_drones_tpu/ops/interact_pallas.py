@@ -182,7 +182,7 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
 
 def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                          max_push: float = 0.01, interpret: bool = False,
-                         cone: bool = True):
+                         cone: bool = True, neighbor_cap=None):
     """Mask-gated fused wake+contact pass for arbitrarily permuted fleets.
 
     The round-3 counterpart of `make_interact_pallas` for the persistently-
@@ -190,7 +190,13 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     value-based tile masks (ops/spatial) gate the wake and contact sections
     independently — no per-pass argsort/gather/scatter, and the contact
     section dies on everything but box-adjacent tiles in ALL THREE axes
-    (the z-sorted path could only cull contact along z)."""
+    (the z-sorted path could only cull contact along z).
+
+    ``neighbor_cap``: round-4 cell-list path — compacted live-tile lists
+    with prefetch-indexed source blocks and dense-grid fallback on overflow;
+    semantics and caveats exactly as `make_downwash_masked`. The packed
+    prefetch words carry BOTH mask bits (wake|contact<<1), so the fused
+    kernel body is unchanged."""
     from gym_pybullet_drones_tpu.ops.spatial import packed_live_mask
 
     c2 = float(params.dw_coeff_2)
@@ -250,7 +256,12 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
             dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
 
     def interact_cols(x, y, z, vx, vy, vz):
-        from gym_pybullet_drones_tpu.ops.spatial import auto_bs, fit_block
+        from gym_pybullet_drones_tpu.ops.spatial import (
+            auto_bs,
+            auto_nbr_cap,
+            compact_live_tiles,
+            fit_block,
+        )
 
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
@@ -262,24 +273,40 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                                 min_dist, params=params, cone=cone)
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
-        t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
-                              memory_space=pltpu.VMEM)
-        s_spec = pl.BlockSpec((1, bs_e), lambda i, j, m: (0, j),
-                              memory_space=pltpu.VMEM)
-        o_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
-                              memory_space=pltpu.VMEM)
-        grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(N // bt_e, N // bs_e),
-            in_specs=[t_spec] * 6 + [s_spec] * 6,
-            out_specs=[o_spec] * 7,
-        )
-        outs = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
-            interpret=interpret,
-        )(mask, *cols_t, *cols_s)
+
+        def run(grid, prefetch, s_index):
+            t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
+                                  memory_space=pltpu.VMEM)
+            s_spec = pl.BlockSpec((1, bs_e), s_index,
+                                  memory_space=pltpu.VMEM)
+            o_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
+                                  memory_space=pltpu.VMEM)
+            grid_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=grid,
+                in_specs=[t_spec] * 6 + [s_spec] * 6,
+                out_specs=[o_spec] * 7,
+            )
+            return pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=[jax.ShapeDtypeStruct((N, 1), jnp.float32)] * 7,
+                interpret=interpret,
+            )(prefetch, *cols_t, *cols_s)
+
+        nt, ns = N // bt_e, N // bs_e
+        if neighbor_cap is None:
+            outs = run((nt, ns), mask, lambda i, j, m: (0, j))
+        else:
+            cap = auto_nbr_cap(ns) if neighbor_cap is True else neighbor_cap
+            cap = min(cap, ns)
+            idx, count_max = compact_live_tiles(mask, nt, ns, cap)
+            outs = jax.lax.cond(
+                count_max > cap,
+                lambda: run((nt, ns), mask, lambda i, j, m: (0, j)),
+                lambda: run((nt, cap), idx,
+                            lambda i, j, m: (0, m[i * cap + j] >> 2)),
+            )
         cols = [o[:, 0].astype(in_dtype) for o in outs]
         return cols[0], tuple(cols[1:4]), tuple(cols[4:7])
 

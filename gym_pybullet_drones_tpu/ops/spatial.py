@@ -175,6 +175,51 @@ def packed_live_mask(x, y, z, bt, bs, min_dist, params=None, cone=True,
             | (contact.astype(jnp.int32) << 1)).reshape(-1)
 
 
+def compact_live_tiles(packed, nt, ns, cap):
+    """Compact a flat (nt*ns,) packed tile mask into per-target-row live
+    source-tile lists — the round-4 cell-list path (VERDICT r3 item #3).
+
+    The masked kernels still ENUMERATE every (target, source) tile pair in
+    their grid; dead tiles cost only ~2 ns each, but the culling floor is the
+    TILE box size: at 65k/pitch-4 the live fraction bottoms out at ~0.2 while
+    the true per-pair live fraction is ~0.5% (docs/PERF.md) — large source
+    tiles (1024 lanes) were needed to amortize the dense grid. Compaction
+    removes the dense-enumeration constraint: the grid becomes
+    (nt, cap) over each row's ACTUAL live tiles, so tiles can shrink to the
+    culling-optimal size without grid-overhead blowup, and the SMEM budget
+    drops from nt*ns mask words to nt*cap packed words.
+
+    Returns ``(packed_idx, count_max)``:
+      * ``packed_idx``: (nt*cap,) int32, each ``source_tile_index * 4 | bits``
+        (bits = the 2 mask bits; 0 marks a padding slot). Rows keep ascending
+        source order, so a kernel consuming this sums in EXACTLY the order of
+        the dense masked grid — results are bit-identical.
+      * ``count_max``: () int32, the largest per-row live count. If it
+        exceeds ``cap`` the compaction dropped live tiles and the caller MUST
+        fall back to the dense masked pass (lax.cond) — correctness never
+        depends on cap.
+    """
+    m = packed.reshape(nt, ns).astype(jnp.int32)
+    live = m != 0
+    # position of each live column within its row; dead/overflow slots land
+    # in the scratch column `cap` of a (cap+1)-wide row and are sliced away
+    pos = jnp.cumsum(live, axis=1) - 1
+    pos = jnp.where(live & (pos < cap), pos, cap)
+    rows = jnp.broadcast_to(jnp.arange(nt)[:, None], (nt, ns))
+    cols = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32)[None, :], (nt, ns))
+    packed_vals = (cols << 2) | m
+    out = jnp.zeros((nt, cap + 1), jnp.int32).at[rows, pos].set(packed_vals)
+    return out[:, :cap].reshape(-1), live.sum(axis=1).max().astype(jnp.int32)
+
+
+def auto_nbr_cap(ns):
+    """Default live-tile cap per target row: ns/4 (pitch >= 2 fleets measure
+    ~5-12% live rows; 4x headroom before the dense fallback), floored for
+    tiny test fleets and ceiled to keep the packed prefetch array well under
+    the 1 MB SMEM cap at 131k (nt=512 rows x 256 -> 512 KB)."""
+    return int(min(max(8, ns // 4), 256))
+
+
 def _spread_bits(v):
     """Spread the low 10 bits of v so consecutive bits land 3 apart."""
     v = v & 0x3FF

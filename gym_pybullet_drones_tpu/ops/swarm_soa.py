@@ -69,7 +69,8 @@ def swarm_soa_to_kin(s: Dict[str, jax.Array], template):
 def make_sorted_swarm(params: DroneParams, dt, n_substeps: int,
                       collisions: bool = False, interpret: bool = False,
                       order: str = "z", resort_every: int = 4,
-                      cone: bool = True):
+                      cone: bool = True, neighbor_cap=None,
+                      bt: int = 256, bs=None):
     """Persistently-sorted coupled-swarm loop (round-3 neighbor pruning).
 
     Returns ``(init, step, export)``:
@@ -103,8 +104,10 @@ def make_sorted_swarm(params: DroneParams, dt, n_substeps: int,
     from gym_pybullet_drones_tpu.ops.spatial import sort_key
 
     c = physics_consts(params)
-    dw_m = make_downwash_masked(params, interpret=interpret, cone=cone)
-    ia_m = (make_interact_masked(params, interpret=interpret, cone=cone)
+    dw_m = make_downwash_masked(params, bt=bt, bs=bs, interpret=interpret,
+                                cone=cone, neighbor_cap=neighbor_cap)
+    ia_m = (make_interact_masked(params, bt=bt, bs=bs, interpret=interpret,
+                                 cone=cone, neighbor_cap=neighbor_cap)
             if collisions else None)
     _COLS = ("px", "py", "pz", "qx", "qy", "qz", "qw",
              "vx", "vy", "vz", "wx", "wy", "wz", "mag", "ids")

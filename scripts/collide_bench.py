@@ -51,9 +51,18 @@ def main():
 
             order = os.environ.get("SWARM_ORDER", "z")
             resort = int(os.environ.get("SWARM_RESORT", "4"))
+            # SWARM_NBR: "" = off, "auto" = auto cap, int = pinned cap;
+            # SWARM_BT/SWARM_BS pick the tile shape (nbr path wants finer
+            # source tiles than the dense grid, e.g. BT=256 BS=128).
+            nbr = os.environ.get("SWARM_NBR", "")
+            nbr_cap = (None if nbr == "" else
+                       True if nbr == "auto" else int(nbr))
+            bt = int(os.environ.get("SWARM_BT", "256"))
+            bs_env = os.environ.get("SWARM_BS", "")
             init, sstep, export = make_sorted_swarm(
                 params, 1 / 240, 5, collisions=collisions, order=order,
-                resort_every=resort)
+                resort_every=resort, neighbor_cap=nbr_cap, bt=bt,
+                bs=int(bs_env) if bs_env else None)
             s0 = jax.jit(init)(kin)
 
             @jax.jit

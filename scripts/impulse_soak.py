@@ -64,6 +64,11 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compilation cache: the impulse train step is a huge program
+    # and remote (tunnel) compiles are the dominant setup cost; cache them.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_soak"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     print(f"[soak] devices: {jax.devices()}", flush=True)
 
     env_cfg = AviaryConfig(
@@ -73,7 +78,10 @@ def main():
         collisions=args.num_drones > 1, contact_mode="impulse",
     )
     ppo_cfg = PPOConfig(num_envs=args.num_envs, n_steps=args.n_steps)
+    t_init = time.time()
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(0))
+    jax.block_until_ready(runner.obs)
+    print(f"[soak] ppo_init done in {time.time() - t_init:.1f}s", flush=True)
 
     if args.chunk > 1:
         train = make_ppo_train_loop(env_cfg, ppo_cfg, aux, args.chunk)
@@ -81,6 +89,15 @@ def main():
         step = make_ppo_train_step(env_cfg, ppo_cfg, aux)
         train = (jax.jit(step) if args.no_donate
                  else jax.jit(step, donate_argnums=(0,)))
+
+    # Split trace/lower (local) from compile (remote over the tunnel) so the
+    # hang point is visible in the log.
+    t_low = time.time()
+    lowered = train.lower(runner)
+    print(f"[soak] lowered in {time.time() - t_low:.1f}s", flush=True)
+    t_comp = time.time()
+    train = lowered.compile()
+    print(f"[soak] compiled in {time.time() - t_comp:.1f}s", flush=True)
 
     t0 = time.time()
     done_updates = 0

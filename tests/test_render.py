@@ -211,3 +211,52 @@ def test_block_landmark_renders_as_box():
     w = xs.max() - xs.min() + 1
     h = ys.max() - ys.min() + 1
     assert w / h > 1.8, (w, h)
+
+
+def test_mesh_rendering_round4():
+    """Round-4 mesh fidelity (VERDICT r3 item #4): the cf2 silhouette and the
+    duck/teddy landmark meshes are visible in seg, and the drone's pixels
+    change with its attitude (the property the X-frame proxy introduced and
+    the mesh must preserve)."""
+    import math
+
+    from gym_pybullet_drones_tpu.render.camera import (
+        CameraConfig, render_drone_views)
+
+    # cam drone 0 looks along +x at drone 1 (id 2 in seg)
+    pos = jnp.asarray([[0.0, 0.0, 0.3], [0.5, 0.0, 0.3]], jnp.float32)
+    quat = jnp.asarray([[0.0, 0.0, 0.0, 1.0]] * 2, jnp.float32)
+    rgba0, _, seg0 = render_drone_views(pos, quat, 0.0397, CameraConfig(),
+                                        cam_indices=0)
+    assert (np.asarray(seg0) == 2).sum() > 3
+
+    # tilt the scene drone: silhouette pixels must change
+    s, c = math.sin(0.2), math.cos(0.2)
+    quat_t = quat.at[1].set(jnp.asarray([s, 0.0, 0.0, c], jnp.float32))
+    rgba1, _, seg1 = render_drone_views(pos, quat_t, 0.0397, CameraConfig(),
+                                        cam_indices=0)
+    m = (np.asarray(seg0) == 2) | (np.asarray(seg1) == 2)
+    assert (np.asarray(rgba0)[m] != np.asarray(rgba1)[m]).any()
+
+    # duck (id N+3) from a drone at [-2,0,.2] facing +x; teddy (id N+4)
+    # from [0,-2,.2] facing +y (landmark poses BaseRLAviary.py:108-126)
+    _, _, seg_d = render_drone_views(
+        jnp.asarray([[-2.0, 0.0, 0.2]], jnp.float32),
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), 0.0397,
+        CameraConfig())
+    assert (np.asarray(seg_d) == 4).sum() > 3  # duck
+    q90 = jnp.asarray([[0.0, 0.0, math.sin(math.pi / 4),
+                        math.cos(math.pi / 4)]], jnp.float32)
+    _, _, seg_t = render_drone_views(
+        jnp.asarray([[0.0, -2.0, 0.2]], jnp.float32), q90, 0.0397,
+        CameraConfig())
+    assert (np.asarray(seg_t) == 5).sum() > 3  # teddy
+
+    # xframe proxy still available and auto kicks in above 8 scene drones
+    N = 12
+    posn = jnp.asarray(np.stack([np.linspace(0, 3, N), np.zeros(N),
+                                 np.full(N, 0.3)], -1), jnp.float32)
+    quatn = jnp.tile(jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (N, 1))
+    _, _, seg_x = render_drone_views(posn, quatn, 0.0397, CameraConfig(),
+                                     cam_indices=0)
+    assert (np.asarray(seg_x) > 0).sum() > 3

@@ -15,9 +15,12 @@
 #
 # The eeprom blob carries the arming/rate/PID profile the env expects
 # (aux1 arm switch on channel 5, rate profile matching ctbr2beta's
-# MAX_RATE=360 deg/s). Create one with betaflight-configurator against a
-# SITL instance (it writes eeprom.bin in the working directory), or pass an
-# existing blob with --eeprom.
+# MAX_RATE=360 deg/s). Without --eeprom this script GENERATES one (round 4,
+# no GUI needed): it boots the first built binary, drives its TCP CLI with
+# scripts/configure_sitl.py (the MockSITL profile / reference preset), and
+# lets the firmware save its own byte-exact eeprom.bin, which is then
+# installed next to every binary. Pass --eeprom FILE to use an existing
+# blob instead; --no-configure restores the round-3 warn-only behavior.
 
 set -euo pipefail
 
@@ -25,12 +28,15 @@ NUM="${1:?usage: build_betaflight_sitl.sh <num_drones> [--dest DIR] [--eeprom FI
 shift
 DEST="betaflight_sitl"
 EEPROM=""
+CONFIGURE=1
 REV="cafe727"   # revision the wire protocol was validated against (BF 4.5-dev)
+SCRIPTS_DIR="$(cd "$(dirname "$0")" && pwd)"
 while [ $# -gt 0 ]; do
   case "$1" in
     --dest) DEST="$2"; shift 2 ;;
     --eeprom) EEPROM="$2"; shift 2 ;;
     --rev) REV="$2"; shift 2 ;;
+    --no-configure) CONFIGURE=0; shift ;;
     *) echo "unknown arg $1"; exit 1 ;;
   esac
 done
@@ -61,10 +67,25 @@ for i in $(seq 0 $((NUM - 1))); do
   sed -i "s/PORT_STATE\([[:space:]]*\)9003/PORT_STATE\1$((9003 + 10 * i))/" "$sitl"
   sed -i "s/PORT_RC\([[:space:]]*\)9004/PORT_RC\1$((9004 + 10 * i))/" "$sitl"
   make -C "$d" TARGET=SITL -j"$(nproc)"
-  if [ -n "$EEPROM" ]; then
+  if [ -z "$EEPROM" ] && [ "$CONFIGURE" = 1 ] && [ "$i" = 0 ]; then
+    # Generate the blob once from bf0: boot it, CLI-configure over TCP 5761
+    # (the firmware writes its own eeprom.bin on 'save'), shut it down.
+    echo "[configure] booting bf0 to generate eeprom.bin via its CLI"
+    ( cd "$d" && ./obj/main/betaflight_SITL.elf >/dev/null 2>&1 & echo $! > sitl.pid )
+    sleep 3
+    python3 "$SCRIPTS_DIR/configure_sitl.py" --port 5761
+    sleep 2
+    kill "$(cat "$d/sitl.pid")" 2>/dev/null || true
+    rm -f "$d/sitl.pid"
+    if [ -f "$d/eeprom.bin" ]; then
+      EEPROM="$d/eeprom.bin"
+      echo "[configure] generated $EEPROM"
+    else
+      echo "[WARN] CLI configuration produced no eeprom.bin; configure manually"
+    fi
+  fi
+  if [ -n "$EEPROM" ] && [ "$EEPROM" != "$d/eeprom.bin" ]; then
     cp "$EEPROM" "$d/eeprom.bin"
-  else
-    echo "[WARN] no --eeprom given: configure bf${i} once via betaflight-configurator (it writes eeprom.bin)"
   fi
   echo "[OK] $d/obj/main/betaflight_SITL.elf"
 done

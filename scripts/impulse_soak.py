@@ -64,11 +64,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # Persistent compilation cache: the impulse train step is a huge program
-    # and remote (tunnel) compiles are the dominant setup cost; cache them.
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_soak"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    # NOTE: do NOT enable jax_compilation_cache_dir here — measured on this
+    # image, any device op with the persistent cache enabled wedges the
+    # remote axon worker (even a trivial reduction; the worker needs its
+    # auto-restart afterwards). Tunnel compiles stay uncached.
     print(f"[soak] devices: {jax.devices()}", flush=True)
 
     env_cfg = AviaryConfig(

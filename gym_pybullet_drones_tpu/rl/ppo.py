@@ -147,6 +147,12 @@ class PPOConfig:
     # removed at eval time.
     log_std_anneal_to: Optional[float] = None
     log_std_anneal_updates: int = 1
+    # KL-adaptive learning rate (round-4 RGB ablation arm, VERDICT r3 item
+    # 5): when set, the optimizer is built with injectable hyperparams and
+    # after every update the LR adapts on the classic rule — approx_kl
+    # (mean (ratio-1) - log ratio) above 2x target shrinks LR by 1.5x, below
+    # target/2 grows it 1.5x, clamped to [lr/100, lr*100]. None = fixed LR.
+    target_kl: Optional[float] = None
 
     @property
     def batch_size(self) -> int:
@@ -230,9 +236,13 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
                               log_std_init=ppo_cfg.log_std_init)
         params = network.init(
             init_key, jnp.zeros((1, env_cfg.num_drones * env_cfg.obs_dim)))
+    adam = (optax.inject_hyperparams(optax.adam)(
+                learning_rate=ppo_cfg.learning_rate, eps=1e-5)
+            if ppo_cfg.target_kl is not None
+            else optax.adam(ppo_cfg.learning_rate, eps=1e-5))
     tx = optax.chain(
         optax.clip_by_global_norm(ppo_cfg.max_grad_norm),
-        optax.adam(ppo_cfg.learning_rate, eps=1e-5),
+        adam,
     )
     opt_state = tx.init(params)
     env_state = batch_reset(env_cfg, params_env, ppo_cfg.num_envs)
@@ -305,7 +315,9 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         v_loss = 0.5 * jnp.mean((value - returns) ** 2)
         entropy = jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e))
         total = pg_loss + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * entropy
-        return total, (pg_loss, v_loss, entropy)
+        # stable approx_kl estimator (Schulman): E[(r - 1) - log r]
+        approx_kl = jnp.mean((ratio - 1.0) - jnp.log(ratio + 1e-12))
+        return total, (pg_loss, v_loss, entropy, approx_kl)
 
     def train_step(runner: PPORunnerState):
         rng, roll_rng, perm_rng = jax.random.split(runner.rng, 3)
@@ -375,17 +387,30 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state), loss
+                return (params, opt_state), (loss, parts[3])
 
-            (params, opt_state), losses = jax.lax.scan(
+            (params, opt_state), (losses, kls) = jax.lax.scan(
                 mb_body, (params, opt_state), jnp.arange(nmb)
             )
-            return (params, opt_state), losses
+            return (params, opt_state), (losses, kls)
 
         epoch_keys = jax.random.split(perm_rng, ppo_cfg.n_epochs)
-        (params, opt_state), losses = jax.lax.scan(
+        (params, opt_state), (losses, kls) = jax.lax.scan(
             epoch_body, (runner.params, runner.opt_state), epoch_keys
         )
+        approx_kl = kls[-1].mean()  # last epoch: the post-update divergence
+        if ppo_cfg.target_kl is not None:
+            # Classic adaptive-KL LR rule on the injected adam hyperparams.
+            inj = opt_state[1]
+            lr = inj.hyperparams["learning_rate"]
+            lr = jnp.where(approx_kl > 2.0 * ppo_cfg.target_kl, lr / 1.5,
+                           jnp.where(approx_kl < 0.5 * ppo_cfg.target_kl,
+                                     lr * 1.5, lr))
+            lr = jnp.clip(lr, ppo_cfg.learning_rate / 100.0,
+                          ppo_cfg.learning_rate * 100.0)
+            inj = inj._replace(
+                hyperparams={**inj.hyperparams, "learning_rate": lr})
+            opt_state = (opt_state[0], inj)
         if ppo_cfg.log_std_anneal_to is not None:
             frac = jnp.minimum(
                 1.0, (runner.update_count + 1.0)
@@ -400,6 +425,7 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
             mean_reward=raw_rewards.mean(),  # env reward, without bootstrap
             mean_value=traj.value.mean(),
             episodes_done=traj.done.sum(),
+            approx_kl=approx_kl,
         )
         new_runner = PPORunnerState(
             params=params, opt_state=opt_state, env_state=env_state,

@@ -187,37 +187,53 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     dense masked grid at equal (bt, bs); if any row exceeds the cap the pass
     falls back to the dense masked grid under lax.cond (exact, never drops).
     """
-    from gym_pybullet_drones_tpu.ops.spatial import wake_live_mask
+    from gym_pybullet_drones_tpu.ops.spatial import (
+        subtile_count,
+        subtile_packed_mask,
+    )
 
     c2 = float(params.dw_coeff_2)
     c3 = float(params.dw_coeff_3)
     K = float(params.dw_coeff_1) * float(params.prop_radius) ** 2 / 16.0
 
-    def kernel(mask_ref, xt, yt, zt, xs, ys, zs, out):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        ns = pl.num_programs(1)
+    def make_kernel(sub_n, bs_e):
+        # Round-4 sub-tile gating: mask word bit k = wake-live of the k-th
+        # 128-lane slice of the source block (spatial.subtile_packed_mask) —
+        # pair math runs per LIVE SLICE, so the cull resolution is the
+        # bs/sub_n box while grid/DMA stay at the wide-tile optimum. The
+        # low 16 bits are the mask whichever grid feeds the kernel (dense:
+        # raw words; neighbor-compacted: idx << 16 | word).
+        sub_w = bs_e // sub_n
 
-        @pl.when(j == 0)
-        def _():
-            out[:] = jnp.zeros_like(out)
+        def kernel(mask_ref, xt, yt, zt, xs, ys, zs, out):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            ns = pl.num_programs(1)
 
-        # Gate on bit 0 so the same kernel serves the dense masked grid
-        # (values 0/1) and the neighbor-compacted grid (values idx<<2|bit).
-        @pl.when(mask_ref[i * ns + j] & 1 != 0)
-        def _():
-            dx = xs[:] - xt[:]
-            dy = ys[:] - yt[:]
-            dz = zs[:] - zt[:]
-            dxy2 = dx * dx + dy * dy
-            safe_dz = jnp.where(dz > 0, dz, 1.0)
-            alpha = K / (safe_dz * safe_dz)
-            beta = c2 * safe_dz + c3
-            safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
-            mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
-            live = (dz > 0) & (dxy2 < 100.0)
-            out[:] -= jnp.sum(jnp.where(live, mag, 0.0), axis=1,
-                              keepdims=True)
+            @pl.when(j == 0)
+            def _():
+                out[:] = jnp.zeros_like(out)
+
+            m = mask_ref[i * ns + j] & 0xFFFF
+            for k in range(sub_n):
+                @pl.when(((m >> k) & 1) != 0)
+                def _(k=k):
+                    sl = slice(k * sub_w, (k + 1) * sub_w)
+                    dx = xs[:, sl] - xt[:]
+                    dy = ys[:, sl] - yt[:]
+                    dz = zs[:, sl] - zt[:]
+                    dxy2 = dx * dx + dy * dy
+                    safe_dz = jnp.where(dz > 0, dz, 1.0)
+                    alpha = K / (safe_dz * safe_dz)
+                    beta = c2 * safe_dz + c3
+                    safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12,
+                                           beta * beta, 1.0)
+                    mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+                    live = (dz > 0) & (dxy2 < 100.0)
+                    out[:] -= jnp.sum(jnp.where(live, mag, 0.0), axis=1,
+                                      keepdims=True)
+
+        return kernel
 
     def dw_cols(x, y, z):
         from gym_pybullet_drones_tpu.ops.spatial import (
@@ -230,13 +246,15 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
         bs_e = fit_block(auto_bs(bs, N), N, 128)
+        sub_n = subtile_count(bs_e)
         in_dtype = x.dtype
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
         # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).
-        mask = wake_live_mask(x, y, z, bt_e, bs_e, params=params,
-                              cone=cone).reshape(-1)
+        mask = subtile_packed_mask(x, y, z, bt_e, bs_e, params=params,
+                                   cone=cone)
         args = (x.reshape(N, 1), y.reshape(N, 1), z.reshape(N, 1),
                 x.reshape(1, N), y.reshape(1, N), z.reshape(1, N))
+        kernel = make_kernel(sub_n, bs_e)
 
         def run(grid, prefetch, s_index):
             t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
@@ -268,7 +286,7 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                 count_max > cap,
                 lambda: run((nt, ns), mask, lambda i, j, m: (0, j)),
                 lambda: run((nt, cap), idx,
-                            lambda i, j, m: (0, m[i * cap + j] >> 2)),
+                            lambda i, j, m: (0, m[i * cap + j] >> 16)),
             )
         return out[:, 0].astype(in_dtype)
 

@@ -197,7 +197,10 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     semantics and caveats exactly as `make_downwash_masked`. The packed
     prefetch words carry BOTH mask bits (wake|contact<<1), so the fused
     kernel body is unchanged."""
-    from gym_pybullet_drones_tpu.ops.spatial import packed_live_mask
+    from gym_pybullet_drones_tpu.ops.spatial import (
+        subtile_count,
+        subtile_packed_mask,
+    )
 
     c2 = float(params.dw_coeff_2)
     c3 = float(params.dw_coeff_3)
@@ -205,55 +208,68 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     min_dist = 2.0 * float(params.collision_r)
     eps = 1e-9
 
-    def kernel(mask_ref, xt, yt, zt, vxt, vyt, vzt, xs, ys, zs, vxs, vys, vzs,
-               dw, dpx, dpy, dpz, dvx, dvy, dvz):
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        ns = pl.num_programs(1)
-        m = mask_ref[i * ns + j]  # bit 0: wake live, bit 1: contact live
+    def make_kernel(sub_n, bs_e):
+        # Round-4 sub-tile gating (see downwash_pallas.make_downwash_masked):
+        # word bits 0..sub_n-1 = wake-live per 128-lane source slice, bits
+        # 8..8+sub_n-1 = contact-live per slice.
+        sub_w = bs_e // sub_n
 
-        @pl.when(j == 0)
-        def _():
-            for o in (dw, dpx, dpy, dpz, dvx, dvy, dvz):
-                o[:] = jnp.zeros_like(o)
+        def kernel(mask_ref, xt, yt, zt, vxt, vyt, vzt,
+                   xs, ys, zs, vxs, vys, vzs,
+                   dw, dpx, dpy, dpz, dvx, dvy, dvz):
+            i = pl.program_id(0)
+            j = pl.program_id(1)
+            ns = pl.num_programs(1)
+            m = mask_ref[i * ns + j] & 0xFFFF
 
-        @pl.when(m & 1 != 0)
-        def _():
-            dxs = xs[:] - xt[:]
-            dys = ys[:] - yt[:]
-            dzs = zs[:] - zt[:]
-            dxy2 = dxs * dxs + dys * dys
-            safe_dz = jnp.where(dzs > 0, dzs, 1.0)
-            alpha = K / (safe_dz * safe_dz)
-            beta = c2 * safe_dz + c3
-            safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12, beta * beta, 1.0)
-            mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
-            wake = jnp.where((dzs > 0) & (dxy2 < 100.0), mag, 0.0)
-            dw[:] -= jnp.sum(wake, axis=1, keepdims=True)
+            @pl.when(j == 0)
+            def _():
+                for o in (dw, dpx, dpy, dpz, dvx, dvy, dvz):
+                    o[:] = jnp.zeros_like(o)
 
-        @pl.when(m & 2 != 0)
-        def _():
-            dxs = xs[:] - xt[:]
-            dys = ys[:] - yt[:]
-            dzs = zs[:] - zt[:]
-            d2 = dxs * dxs + dys * dys + dzs * dzs
-            contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
-            inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
-            dist = d2 * inv
-            overlap = jnp.where(contact, min_dist - dist, 0.0)
-            nx, ny, nz = -dxs * inv, -dys * inv, -dzs * inv
-            push = jnp.minimum(0.5 * overlap, max_push)
-            dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
-            dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
-            dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
-            rvx = vxt[:] - vxs[:]
-            rvy = vyt[:] - vys[:]
-            rvz = vzt[:] - vzs[:]
-            vn = rvx * nx + rvy * ny + rvz * nz
-            appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
-            dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
-            dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
-            dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+            for k in range(sub_n):
+                sl = slice(k * sub_w, (k + 1) * sub_w)
+
+                @pl.when(((m >> k) & 1) != 0)
+                def _(sl=sl):
+                    dxs = xs[:, sl] - xt[:]
+                    dys = ys[:, sl] - yt[:]
+                    dzs = zs[:, sl] - zt[:]
+                    dxy2 = dxs * dxs + dys * dys
+                    safe_dz = jnp.where(dzs > 0, dzs, 1.0)
+                    alpha = K / (safe_dz * safe_dz)
+                    beta = c2 * safe_dz + c3
+                    safe_beta2 = jnp.where(jnp.abs(beta) > 1e-12,
+                                           beta * beta, 1.0)
+                    mag = alpha * jnp.exp(-0.5 * dxy2 / safe_beta2)
+                    wake = jnp.where((dzs > 0) & (dxy2 < 100.0), mag, 0.0)
+                    dw[:] -= jnp.sum(wake, axis=1, keepdims=True)
+
+                @pl.when(((m >> (k + 8)) & 1) != 0)
+                def _(sl=sl):
+                    dxs = xs[:, sl] - xt[:]
+                    dys = ys[:, sl] - yt[:]
+                    dzs = zs[:, sl] - zt[:]
+                    d2 = dxs * dxs + dys * dys + dzs * dzs
+                    contact = (d2 < min_dist * min_dist) & (d2 > eps * eps)
+                    inv = jax.lax.rsqrt(jnp.maximum(d2, eps * eps))
+                    dist = d2 * inv
+                    overlap = jnp.where(contact, min_dist - dist, 0.0)
+                    nx, ny, nz = -dxs * inv, -dys * inv, -dzs * inv
+                    push = jnp.minimum(0.5 * overlap, max_push)
+                    dpx[:] += jnp.sum(push * nx, axis=1, keepdims=True)
+                    dpy[:] += jnp.sum(push * ny, axis=1, keepdims=True)
+                    dpz[:] += jnp.sum(push * nz, axis=1, keepdims=True)
+                    rvx = vxt[:] - vxs[:, sl]
+                    rvy = vyt[:] - vys[:, sl]
+                    rvz = vzt[:] - vzs[:, sl]
+                    vn = rvx * nx + rvy * ny + rvz * nz
+                    appr = jnp.where(contact & (vn < 0.0), vn, 0.0)
+                    dvx[:] += jnp.sum(-0.5 * appr * nx, axis=1, keepdims=True)
+                    dvy[:] += jnp.sum(-0.5 * appr * ny, axis=1, keepdims=True)
+                    dvz[:] += jnp.sum(-0.5 * appr * nz, axis=1, keepdims=True)
+
+        return kernel
 
     def interact_cols(x, y, z, vx, vy, vz):
         from gym_pybullet_drones_tpu.ops.spatial import (
@@ -266,13 +282,16 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         N = x.shape[0]
         bt_e = fit_block(bt, N, 8)
         bs_e = fit_block(auto_bs(bs, N), N, 128)
+        sub_n = subtile_count(bs_e)
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
-        # packed wake|contact mask; rides scalar prefetch (SMEM)
-        mask = packed_live_mask(comps[0], comps[1], comps[2], bt_e, bs_e,
-                                min_dist, params=params, cone=cone)
+        # packed per-sub-tile wake|contact mask; rides scalar prefetch (SMEM)
+        mask = subtile_packed_mask(comps[0], comps[1], comps[2], bt_e, bs_e,
+                                   min_dist=min_dist, params=params,
+                                   cone=cone)
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
+        kernel = make_kernel(sub_n, bs_e)
 
         def run(grid, prefetch, s_index):
             t_spec = pl.BlockSpec((bt_e, 1), lambda i, j, m: (i, 0),
@@ -305,7 +324,7 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                 count_max > cap,
                 lambda: run((nt, ns), mask, lambda i, j, m: (0, j)),
                 lambda: run((nt, cap), idx,
-                            lambda i, j, m: (0, m[i * cap + j] >> 2)),
+                            lambda i, j, m: (0, m[i * cap + j] >> 16)),
             )
         cols = [o[:, 0].astype(in_dtype) for o in outs]
         return cols[0], tuple(cols[1:4]), tuple(cols[4:7])

@@ -175,6 +175,47 @@ def packed_live_mask(x, y, z, bt, bs, min_dist, params=None, cone=True,
             | (contact.astype(jnp.int32) << 1)).reshape(-1)
 
 
+def subtile_count(bs):
+    """Sub-tile slices per source block for the packed sub-tile masks: the
+    source block divides into 128-lane slices (the hardware lane granule),
+    capped at 8 so wake and contact bit fields fit one int32 byte each.
+    bs < 128 (tiny test fleets) -> one slice."""
+    if bs % 128 != 0:
+        return 1
+    return int(min(8, bs // 128))
+
+
+def subtile_packed_mask(x, y, z, bt, bs, min_dist=None, params=None,
+                        cone=True):
+    """Flat (nt*ns,) int32 with PER-SUB-TILE live bits (round 4).
+
+    The round-3 masks gate whole (bt, bs) tiles, so the culling floor is the
+    tile-box size: at 65k/pitch-4 the live fraction is ~33% at bs=1024 but
+    ~20% at bs=128 (measured, docs/PERF.md round-4) — yet bs=128 tiles lose
+    on grid/DMA overhead. This packing keeps the wide-tile grid and gives
+    the kernel finer kill resolution: word bit k = wake-live of the k-th
+    128-lane slice of the source block (bits 0..7), bit 8+k = contact-live
+    of that slice. The kernel pair-maths only live slices — the live-
+    fraction delta is saved as pure VPU work, with zero extra grid cells
+    and the same SMEM footprint (still one word per tile pair).
+
+    ``min_dist`` None -> wake bits only (downwash pass).
+    """
+    sub = subtile_count(bs)
+    sub_w = bs // sub
+    tb, sb = _bounds_pair(x, y, z, bt, sub_w)
+    nt = tb[0].shape[0]
+    wake = _wake_live_from_bounds(tb, sb, params, cone)  # (nt, ns*sub)
+    bits = jnp.arange(sub, dtype=jnp.int32)
+    packed = (wake.reshape(nt, -1, sub).astype(jnp.int32) << bits).sum(
+        -1, dtype=jnp.int32)
+    if min_dist is not None:
+        contact = _contact_live_from_bounds(tb, sb, min_dist)
+        packed |= (contact.reshape(nt, -1, sub).astype(jnp.int32)
+                   << (bits + 8)).sum(-1, dtype=jnp.int32)
+    return packed.reshape(-1)
+
+
 def compact_live_tiles(packed, nt, ns, cap):
     """Compact a flat (nt*ns,) packed tile mask into per-target-row live
     source-tile lists — the round-4 cell-list path (VERDICT r3 item #3).
@@ -190,8 +231,9 @@ def compact_live_tiles(packed, nt, ns, cap):
     drops from nt*ns mask words to nt*cap packed words.
 
     Returns ``(packed_idx, count_max)``:
-      * ``packed_idx``: (nt*cap,) int32, each ``source_tile_index * 4 | bits``
-        (bits = the 2 mask bits; 0 marks a padding slot). Rows keep ascending
+      * ``packed_idx``: (nt*cap,) int32, each ``source_tile_index << 16 |
+        bits`` (bits = the tile's mask word, up to 16 sub-tile bits —
+        subtile_packed_mask; 0 marks a padding slot). Rows keep ascending
         source order, so a kernel consuming this sums in EXACTLY the order of
         the dense masked grid — results are bit-identical.
       * ``count_max``: () int32, the largest per-row live count. If it
@@ -207,7 +249,7 @@ def compact_live_tiles(packed, nt, ns, cap):
     pos = jnp.where(live & (pos < cap), pos, cap)
     rows = jnp.broadcast_to(jnp.arange(nt)[:, None], (nt, ns))
     cols = jnp.broadcast_to(jnp.arange(ns, dtype=jnp.int32)[None, :], (nt, ns))
-    packed_vals = (cols << 2) | m
+    packed_vals = (cols << 16) | (m & 0xFFFF)
     out = jnp.zeros((nt, cap + 1), jnp.int32).at[rows, pos].set(packed_vals)
     return out[:, :cap].reshape(-1), live.sum(axis=1).max().astype(jnp.int32)
 

@@ -73,7 +73,15 @@ def batch_reset(cfg: AviaryConfig, params, num_envs: int) -> AviaryState:
     nominal geometry — the initial pose depends only on never-randomized
     fields (arm, collision shape).
     """
-    single = envbase.reset(cfg, nominal_params(params))
+    # One jitted call: eager reset is tens of small dispatches, and on the
+    # remote-TPU tunnel each costs ~1 s — measured 40-96 s of every
+    # training-script ppo_init before this (docs/PERF.md round-4 notes).
+    # reset() reads host scalars off params (float(params.arm)), so params
+    # ride as CONCRETE closure constants (a few dozen scalars), not jit
+    # arguments — and nominal_params must run eagerly for the same reason
+    # (its slice of batched domain-rand params would otherwise be a tracer).
+    nom = nominal_params(params)
+    single = jax.jit(lambda: envbase.reset(cfg, nom))()
     return jax.tree.map(
         lambda x: jnp.broadcast_to(x, (num_envs,) + x.shape), single
     )

@@ -428,21 +428,21 @@ def test_neighbor_compacted_kernels_bitmatch_masked():
 
 
 def test_compact_live_tiles_unit():
-    """compact_live_tiles: ascending order per row, packed idx<<2|bits,
-    zero padding, exact count_max."""
+    """compact_live_tiles: ascending order per row, packed idx<<16|bits
+    (16-bit sub-tile mask field), zero padding, exact count_max."""
     from gym_pybullet_drones_tpu.ops.spatial import compact_live_tiles
 
-    mask = jnp.asarray([[0, 1, 0, 3],
+    mask = jnp.asarray([[0, 1, 0, 0x103],
                         [2, 0, 0, 0],
                         [0, 0, 0, 0],
                         [1, 1, 1, 1]], jnp.int32)
     idx, count_max = compact_live_tiles(mask.reshape(-1), 4, 4, cap=2)
     got = np.asarray(idx).reshape(4, 2)
     np.testing.assert_array_equal(
-        got, [[(1 << 2) | 1, (3 << 2) | 3],
-              [(0 << 2) | 2, 0],
+        got, [[(1 << 16) | 1, (3 << 16) | 0x103],
+              [(0 << 16) | 2, 0],
               [0, 0],
-              [(0 << 2) | 1, (1 << 2) | 1]])  # row 3 overflows, keeps first 2
+              [(0 << 16) | 1, (1 << 16) | 1]])  # row 3 overflows, keeps 2
     assert int(count_max) == 4
 
 

@@ -96,6 +96,12 @@ class BaseAviaryEnv(gym.Env):
             action_type=act,
             obs_type=obs,
             obstacles=obstacles,
+            # obstacles=True on a NON-RL env reaches BaseAviary's own
+            # samurai/duck/cube/sphere world (BaseAviary._addObstacles,
+            # :958-981), not the RL landmarks (round 4)
+            obstacle_scene=("base" if obstacles
+                            and task in (TASK_CTRL, TASK_VELOCITY)
+                            else "rl"),
             action_buffer_size=action_buffer_size,
             episode_len_sec=episode_len_sec,
             neighbourhood_radius=float(neighbourhood_radius),
@@ -301,20 +307,24 @@ class BaseAviaryEnv(gym.Env):
     def _addObstacles(self):
         """Obstacle hook (BaseAviary.py:484-505, BaseRLAviary.py:99-128).
 
-        Scope note: this returns the RL landmark set (the only obstacle
-        world any reference task uses). BaseAviary's OWN `_addObstacles`
-        (samurai/duck/cube_no_rotation/sphere2, BaseAviary.py:498-521) is
-        reachable only by passing obstacles=True to a non-RL env — dead in
-        every reference example/test — and is not replicated; subclasses
-        wanting custom scenery override this hook as in the reference.
+        Returns the active obstacle world's spec: the RL landmark set for
+        RL tasks, and — round 4 — BaseAviary's OWN world (samurai gate
+        stand-in / duck / cube_no_rotation / sphere2,
+        BaseAviary._addObstacles :958-981) when obstacles=True on a non-RL
+        env, matching the reference's (otherwise dead) code path.
         Obstacles are static analytic bodies inside the jitted step here
-        (core/collisions.rl_obstacles, enabled by AviaryConfig.collisions),
-        not URDF loads; returns the (K, 7) [x, y, z, radius, hx, hy, hz]
-        spec of the four RL landmarks for introspection (half-extents are
-        zero for the sphere stand-ins, radius zero for the boxes)."""
-        from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
+        (core/collisions.rl_obstacles / base_obstacles, enabled by
+        AviaryConfig.collisions), not URDF loads; returns the (K, 7)
+        [x, y, z, radius, hx, hy, hz] spec for introspection (half-extents
+        zero for spheres, radius zero for sharp boxes)."""
+        from gym_pybullet_drones_tpu.core.collisions import (
+            base_obstacles,
+            rl_obstacles,
+        )
 
-        obs = rl_obstacles(self.cfg.jnp_dtype)
+        obs = (base_obstacles(self.cfg.jnp_dtype)
+               if self.cfg.obstacle_scene == "base"
+               else rl_obstacles(self.cfg.jnp_dtype))
         return np.column_stack([np.asarray(obs.pos), np.asarray(obs.radius),
                                 np.asarray(obs.half)])
 

@@ -81,6 +81,43 @@ def rl_obstacles(dtype=jnp.float32) -> ObstacleSet:
     )
 
 
+# BaseAviary's OWN obstacle scene (BaseAviary._addObstacles, :958-981):
+# samurai.urdf + duck_vhacd at [-.5,-.5,.05] + cube_no_rotation (a 1 m box,
+# base on the ground) at [-.5,-2.5,.5] + sphere2 (r=0.5) at [0,2,.5]. Dead
+# code in every reference task/example (only reachable via obstacles=True on
+# a non-RL env), replicated round 4 for drop-in completeness: duck as its
+# 0.12 m sphere (the mesh renders, render/camera.py), cube and sphere as
+# exact analytic bodies, and the samurai backdrop as a stylized three-box
+# gate stand-in (decorative; the reference mesh's truth is engine-CI
+# territory like the other pybullet_data dimensions).
+_BASE_OBSTACLE_POS = np.array([
+    [-0.5, -0.5, 0.08],    # duck
+    [-0.5, -2.5, 0.5],     # cube_no_rotation
+    [0.0, 2.0, 0.5],       # sphere2
+    [-1.5, -4.0, 1.0],     # samurai gate: left pillar
+    [1.5, -4.0, 1.0],      # samurai gate: right pillar
+    [0.0, -4.0, 2.15],     # samurai gate: lintel
+])
+_BASE_OBSTACLE_R = np.array([0.12, 0.0, 0.5, 0.0, 0.0, 0.0])
+_BASE_OBSTACLE_HALF = np.array([
+    [0.0, 0.0, 0.0],
+    [0.5, 0.5, 0.5],
+    [0.0, 0.0, 0.0],
+    [0.2, 0.2, 1.0],
+    [0.2, 0.2, 1.0],
+    [1.9, 0.25, 0.15],
+])
+
+
+def base_obstacles(dtype=jnp.float32) -> ObstacleSet:
+    """The BaseAviary obstacle world as static analytic bodies."""
+    return ObstacleSet(
+        pos=jnp.asarray(_BASE_OBSTACLE_POS, dtype=dtype),
+        radius=jnp.asarray(_BASE_OBSTACLE_R, dtype=dtype),
+        half=jnp.asarray(_BASE_OBSTACLE_HALF, dtype=dtype),
+    )
+
+
 def obstacle_closest_point(pos, obstacles: ObstacleSet):
     """Closest point on each obstacle's core shape to each drone center.
 

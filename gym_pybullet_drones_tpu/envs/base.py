@@ -96,6 +96,11 @@ class AviaryConfig:
     # (BaseAviary leaves the world empty). Controls RENDER content only —
     # contact with them additionally needs `collisions`.
     obstacles: bool = True
+    # Which obstacle world: "rl" = the four BaseRLAviary landmarks
+    # (:99-128); "base" = BaseAviary's own samurai/duck/cube/sphere scene
+    # (BaseAviary._addObstacles, :958-981 — round 4, core/collisions.
+    # base_obstacles + render/camera scene="base").
+    obstacle_scene: str = "rl"
     # RGB frame stacking (SB3 VecFrameStack analogue, channel-wise): the held
     # frame slot keeps the last K captures as (N, H, W, 4K). K=1 is the
     # reference's raw single-frame observation (BaseRLAviary.py:293-306); a
@@ -214,7 +219,7 @@ def _render_frames(cfg: AviaryConfig, kin: KinState, params: DroneParams):
 
     rgba, _, _ = render_drone_views(
         kin.pos, kin.quat, params.arm,
-        CameraConfig(with_landmarks=cfg.obstacles,
+        CameraConfig(with_landmarks=cfg.obstacles, scene=cfg.obstacle_scene,
                      frame_angle_deg=(0.0 if cfg.drone_model == DroneModel.CF2P
                                       else 45.0)))
     return rgba
@@ -471,9 +476,14 @@ def step(
         new_ctrl = state.ctrl
     obstacles = None
     if cfg.collisions and cfg.obstacles:
-        from gym_pybullet_drones_tpu.core.collisions import rl_obstacles
+        from gym_pybullet_drones_tpu.core.collisions import (
+            base_obstacles,
+            rl_obstacles,
+        )
 
-        obstacles = rl_obstacles(cfg.jnp_dtype)
+        obstacles = (base_obstacles(cfg.jnp_dtype)
+                     if cfg.obstacle_scene == "base"
+                     else rl_obstacles(cfg.jnp_dtype))
     kin, last_rpm = step_physics(
         state.kin, rpm, state.last_rpm, params, cfg.pyb_timestep,
         cfg.steps_per_ctrl, cfg.physics, renormalize_quat=cfg.renormalize_quat,

@@ -65,25 +65,55 @@ _LANDMARK_RGB = np.array([
 ])
 
 
-def _landmark_mesh_arrays():
-    """Cached world-space (v0, e1, e2, n) per mesh landmark (duck at index 2,
-    teddy at 3 — BaseRLAviary.py:120-126), translated to their fixed poses."""
-    global _LANDMARK_MESHES
-    if _LANDMARK_MESHES is None:
-        from gym_pybullet_drones_tpu.render.meshes import (
-            duck_mesh,
-            mesh_arrays,
-            teddy_mesh,
-        )
+def _scene_objects(scene: str):
+    """Cached render scene list per scene name: dicts with ``kind`` of
+    "box"/"sphere"/"mesh", world ``pos``, ``half``/``radius``/``mesh``
+    (world-space mesh arrays), and ``rgb``.
 
-        _LANDMARK_MESHES = {
-            2: mesh_arrays(duck_mesh() + _LANDMARKS[2]),
-            3: mesh_arrays(teddy_mesh() + _LANDMARKS[3]),
-        }
-    return _LANDMARK_MESHES
+    "rl": the four BaseRLAviary landmarks (BaseRLAviary.py:108-126).
+    "base": BaseAviary's own obstacle world (BaseAviary.py:958-981) —
+    duck mesh, the 1 m cube, sphere2, and the three-box samurai-gate
+    stand-in; geometry shared with core/collisions.base_obstacles."""
+    if scene in _SCENES:
+        return _SCENES[scene]
+    from gym_pybullet_drones_tpu.core.collisions import (
+        _BASE_OBSTACLE_HALF,
+        _BASE_OBSTACLE_POS,
+        _BASE_OBSTACLE_R,
+    )
+    from gym_pybullet_drones_tpu.render.meshes import duck_mesh, mesh_arrays
+
+    if scene == "rl":
+        from gym_pybullet_drones_tpu.render.meshes import teddy_mesh
+
+        objs = []
+        for k in range(4):
+            o = dict(kind=_LANDMARK_KIND[k], pos=_LANDMARKS[k],
+                     half=_LANDMARK_HALF[k], radius=_LANDMARK_R[k],
+                     rgb=_LANDMARK_RGB[k])
+            if o["kind"] == "mesh":
+                mesh = duck_mesh() if k == 2 else teddy_mesh()
+                o["mesh"] = mesh_arrays(mesh + _LANDMARKS[k])
+            objs.append(o)
+    elif scene == "base":
+        kinds = ["mesh", "box", "sphere", "box", "box", "box"]
+        rgbs = np.array([[240, 210, 60], [150, 120, 90], [200, 60, 60],
+                         [120, 40, 40], [120, 40, 40], [120, 40, 40]])
+        objs = []
+        for k in range(6):
+            o = dict(kind=kinds[k], pos=_BASE_OBSTACLE_POS[k],
+                     half=_BASE_OBSTACLE_HALF[k],
+                     radius=_BASE_OBSTACLE_R[k], rgb=rgbs[k])
+            if o["kind"] == "mesh":
+                o["mesh"] = mesh_arrays(duck_mesh() + _BASE_OBSTACLE_POS[k])
+            objs.append(o)
+    else:
+        raise ValueError(f"unknown scene {scene!r}")
+    _SCENES[scene] = objs
+    return objs
 
 
-_LANDMARK_MESHES = None
+_SCENES = {}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -106,6 +136,10 @@ class CameraConfig:
     # 3-primitive proxy; "auto": mesh up to 16 scene drones, then xframe
     # (the mesh pass holds (C, H, W, N, T) intermediates).
     drone_proxy: str = "auto"
+    # Obstacle world drawn when with_landmarks: "rl" = the four RL
+    # landmarks; "base" = BaseAviary's samurai/duck/cube/sphere scene
+    # (_scene_objects).
+    scene: str = "rl"
 
 
 def _ray_sphere(origin, direction, center, radius):
@@ -289,23 +323,29 @@ def render_drone_views(pos, quat, arm, cfg: CameraConfig = CameraConfig(),
     if cfg.with_landmarks:
         from gym_pybullet_drones_tpu.render.meshes import ray_tris as _rt
 
-        for k in range(4):
-            c = jnp.asarray(_LANDMARKS[k])
-            if _LANDMARK_KIND[k] == "box":
-                t_k, ax_k = _ray_aabb(o - c, d, jnp.asarray(_LANDMARK_HALF[k]))
+        for k, obj in enumerate(_scene_objects(cfg.scene)):
+            c = jnp.asarray(obj["pos"])
+            if obj["kind"] == "box":
+                t_k, ax_k = _ray_aabb(o - c, d, jnp.asarray(obj["half"]))
                 # entry-face world normal is +-e_axis: shade top faces bright
                 shade = jnp.where(ax_k == 2, 1.0,
                                   jnp.where(ax_k == 0, 0.7, 0.55))
+            elif obj["kind"] == "sphere":
+                t_k = _ray_sphere(o, d, c[None, None, None, :],
+                                  float(obj["radius"]))
+                n_k = (o + d * t_k[..., None]) - c
+                shade = jnp.clip(
+                    0.4 + 0.6 * n_k[..., 2] / float(obj["radius"]), 0.3, 1.0)
             else:
-                # duck/teddy triangle meshes at their fixed world poses
-                # (round 4; BaseRLAviary.py:120-126)
-                v0k, e1k, e2k, nk = _landmark_mesh_arrays()[k]
+                # triangle meshes at fixed world poses (round 4)
+                v0k, e1k, e2k, nk = obj["mesh"]
                 t_tri_k = _rt(o, d, v0k, e1k, e2k)  # (C, H, W, T)
                 t_k = jnp.min(t_tri_k, axis=-1)
                 nz_k = jnp.abs(jnp.take(
                     nk[:, 2], jnp.argmin(t_tri_k, axis=-1), axis=0))
                 shade = jnp.clip(0.4 + 0.6 * nz_k, 0.3, 1.0)
-            rgb_k = jnp.asarray(_LANDMARK_RGB[k], dtype=jnp.float32) * shade[..., None]
+            rgb_k = (jnp.asarray(obj["rgb"], dtype=jnp.float32)
+                     * shade[..., None])
             best_t, best_id, best_rgb = consider(
                 (best_t, best_id, best_rgb), t_k, N + 1 + k, rgb_k)
 

@@ -260,3 +260,45 @@ def test_mesh_rendering_round4():
     _, _, seg_x = render_drone_views(posn, quatn, 0.0397, CameraConfig(),
                                      cam_indices=0)
     assert (np.asarray(seg_x) > 0).sum() > 3
+
+
+def test_base_obstacle_scene_round4():
+    """BaseAviary's own obstacle world (_addObstacles, BaseAviary.py:958-981)
+    — previously scoped out as reference dead code, replicated in round 4:
+    obstacles=True on a NON-RL env renders and collides the duck / 1 m cube
+    / sphere2 / samurai-gate stand-in (core/collisions.base_obstacles)."""
+    import math
+
+    from gym_pybullet_drones_tpu.compat.gym import CtrlAviary
+    from gym_pybullet_drones_tpu.envs import base as eb
+
+    # render: -y view from [0,1,.6] sees cube (id 3), gate (5..7)
+    q = jnp.asarray([[0.0, 0.0, -math.sin(math.pi / 4),
+                      math.cos(math.pi / 4)]], jnp.float32)
+    _, _, seg = render_drone_views(
+        jnp.asarray([[0.0, 1.0, 0.6]], jnp.float32), q, 0.0397,
+        CameraConfig(scene="base"))
+    s = np.asarray(seg)
+    assert (s == 3).sum() > 10          # cube_no_rotation
+    assert ((s >= 5) & (s <= 7)).any()  # samurai gate stand-in
+
+    # compat surface: non-RL env with obstacles exposes the 6-body spec
+    env = CtrlAviary(num_drones=1, obstacles=True)
+    assert env.cfg.obstacle_scene == "base"
+    assert env._addObstacles().shape == (6, 7)
+    env.close()
+
+    # physics: free fall onto the cube top (z=1.0) comes to rest on it
+    cfg = eb.AviaryConfig(
+        task=eb.TASK_CTRL, pyb_freq=240, ctrl_freq=30, collisions=True,
+        obstacles=True, obstacle_scene="base",
+        initial_xyzs=((-0.5, -2.5, 1.2),))
+    params, cp = eb.build_params(cfg), eb.build_ctrl_params(cfg)
+    state = eb.reset(cfg, params)
+    step = jax.jit(lambda st, a: eb.step(
+        cfg, params, cp, np.zeros((1, 3), np.float32), st, a))
+    a = jnp.zeros((1, 4))
+    for _ in range(60):
+        state, *_ = step(state, a)
+    z = float(state.kin.pos[0, 2])
+    assert 0.98 < z < 1.1, z

@@ -62,10 +62,15 @@ def auto_bs(bs, n):
 
     Wide 1024-lane source blocks amortize grid overhead for big fleets
     (+18-21% measured at 65k) but lose at 4096 ((256, 1024) tiles pressure
-    VMEM); the measured crossover is ~16k. ONE definition for the five pair
-    -kernel entry points — retune here, not per kernel."""
+    VMEM); the measured crossover is ~16k. Round 4: 2048 lanes win again at
+    131k+ with the sub-tile masks (0.627->0.674M / 0.424->0.490M drone
+    -steps/s at 131k pitch-4; +8%/+16% at pitch 2 — docs/PERF.md round-4
+    table). ONE definition for the five pair-kernel entry points — retune
+    here, not per kernel."""
     if bs is not None:
         return bs
+    if n >= 131072:
+        return 2048
     return 1024 if n >= 16384 else 512
 
 

@@ -50,7 +50,20 @@ ARMS = {
 }
 
 
-def run_arm(name, overrides, updates, num_envs, seed):
+def run_arm(name, overrides, updates, num_envs, seed, ckpt_root=None):
+    """One ablation arm; checkpoint/resumes every 10 updates when
+    ``ckpt_root`` is set — the v5e's sustained-load client hangs (the
+    round-3/round-4 failure mode, docs/PERF.md) kill long runs mid-arm, so
+    an outer watchdog restarts this script and the arm continues from its
+    last eval boundary instead of from scratch."""
+    import json as _json
+
+    from gym_pybullet_drones_tpu.runtime.checkpoint import (
+        latest_step,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
     frame_stack = overrides.pop("frame_stack", 4)
     env_cfg = AviaryConfig(
         num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
@@ -67,11 +80,19 @@ def run_arm(name, overrides, updates, num_envs, seed):
         **overrides,
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(seed))
+    curve, evals, start_u = [], [], 0
+    ck_dir = os.path.join(ckpt_root, name) if ckpt_root else None
+    if ck_dir and os.path.isdir(ck_dir) and latest_step(ck_dir) > 0:
+        start_u = latest_step(ck_dir)
+        runner = restore_checkpoint(ck_dir, runner, step=start_u)
+        with open(os.path.join(ck_dir, "progress.json")) as f:
+            prog = _json.load(f)
+        curve, evals = prog["curve"], prog["evals"]
+        print(f"[{name}] resumed at update {start_u}", flush=True)
     train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux),
                     donate_argnums=(0,))
-    curve, evals = [], []
     t0 = time.time()
-    for u in range(1, updates + 1):
+    for u in range(start_u + 1, updates + 1):
         runner, m = train(runner)
         jax.block_until_ready(m["loss"])
         curve.append(float(m["mean_reward"]))
@@ -86,6 +107,10 @@ def run_arm(name, overrides, updates, num_envs, seed):
             print(f"[{name}] u{u}/{updates} train_r/step "
                   f"{curve[-1]:.3f} eval {ret:.1f} log_std {log_std:.2f} "
                   f"({time.time() - t0:.0f}s)", flush=True)
+            if ck_dir:
+                save_checkpoint(ck_dir, runner, step=u)
+                with open(os.path.join(ck_dir, "progress.json"), "w") as f:
+                    _json.dump(dict(curve=curve, evals=evals), f)
     return dict(arm=name, curve=curve, evals=evals,
                 frame_stack=frame_stack, anneal_to=anneal_to,
                 seconds=time.time() - t0)
@@ -98,6 +123,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--arms", default=",".join(ARMS))
     ap.add_argument("--out", default="results/rgb_ablation.json")
+    ap.add_argument("--ckpt_root", default="results/abl_ck",
+                    help="mid-arm resume checkpoints ('' disables)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -112,7 +139,8 @@ def main():
             print(f"[skip] {arm} already recorded", flush=True)
             continue
         results.append(run_arm(arm, dict(ARMS[arm]), args.updates,
-                               args.num_envs, args.seed))
+                               args.num_envs, args.seed,
+                               ckpt_root=args.ckpt_root or None))
         with open(args.out, "w") as f:
             json.dump(results, f, indent=1)
         print(f"[saved] {args.out} after {arm}", flush=True)

@@ -75,6 +75,10 @@ def main():
                          "to select checkpoints robust to float32 chaos "
                          "(TPU-trained policies are re-verified on CPU)")
     ap.add_argument("--out", default="results")
+    ap.add_argument("--resume", action="store_true",
+                    help="checkpoint the full runner at every eval boundary "
+                         "and continue from the last one on rerun (v5e "
+                         "sustained-load hang resilience, docs/PERF.md)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -146,6 +150,24 @@ def main():
                                    num_steps=260, num_envs=4)
         print(f"[bc] post-BC deterministic eval {ret0:.1f} ({n0} eps)",
               flush=True)
+    # Crash/hang resume (round 4, VERDICT r3 item #2): the v5e's sustained
+    # -load client hangs (docs/PERF.md) kill long training runs mid-flight;
+    # with --resume the full runner checkpoints at every eval boundary and a
+    # rerun (e.g. under an outer `while ! solved; do timeout ...; done`
+    # watchdog) continues from the last one instead of from scratch.
+    start_u = 0
+    if args.resume:
+        from gym_pybullet_drones_tpu.runtime.checkpoint import (
+            latest_step,
+            restore_checkpoint,
+            save_checkpoint,
+        )
+
+        ck_dir = os.path.join(args.out, f"resume_{args.case}")
+        if os.path.isdir(ck_dir) and latest_step(ck_dir) > 0:
+            start_u = latest_step(ck_dir)
+            runner = restore_checkpoint(ck_dir, runner, step=start_u)
+            print(f"[resume] continuing from update {start_u}", flush=True)
     train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux),
                     donate_argnums=(0,))
 
@@ -155,7 +177,7 @@ def main():
     print(f"[cfg] case={args.case} total={total} updates={updates} "
           f"num_envs={num_envs} anneal_to={ppo_cfg.log_std_anneal_to} "
           f"anneal_updates={ppo_cfg.log_std_anneal_updates}", flush=True)
-    for u in range(updates):
+    for u in range(start_u, updates):
         runner, metrics = train(runner)
         if (u + 1) % eval_every == 0 or u == updates - 1:
             # SB3-equivalent protocol: 10 consecutive episodes on ONE env
@@ -176,6 +198,8 @@ def main():
                 with open(os.path.join(
                         args.out, f"best_{args.case}.msgpack"), "wb") as f:
                     f.write(serialization.to_bytes(best_params))
+            if args.resume:
+                save_checkpoint(ck_dir, runner, step=u + 1)
             if ret >= threshold:
                 print(f"[SOLVED] {ret:.1f} >= {threshold}", flush=True)
                 break

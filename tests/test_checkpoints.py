@@ -231,3 +231,22 @@ def test_rgb_multiagent_checkpoint_solves_reference_threshold():
     ret, n = evaluate_policy(env_cfg, aux, params, num_steps=260, num_envs=1)
     assert n >= 1
     assert ret >= 945.0, ret
+
+
+def test_rgb_from_scratch_early_stop_checkpoint():
+    """Round-4 ablation artifact (docs/ROUND4.md item 5): PPO from RANDOM
+    init with the KL-adaptive LR reaches 425.08 — 90% of the 474.28 DP
+    optimum — after only 10 updates (81,920 env-steps); further training
+    collapses toward the 103.4 constant-action attractor. This gate pins
+    the early-stopped from-scratch policy (no warm start anywhere in its
+    lineage) at >= 400 under the 10-consecutive-episode protocol."""
+    env_cfg = AviaryConfig(
+        num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+        obs_type=ObservationType.RGB, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0, frame_stack=4,
+    )
+    params, aux = _load(env_cfg, "rgb_hover_scratch_kl10.msgpack")
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600,
+                             num_envs=1)
+    assert n >= 10
+    assert ret >= 400.0, ret

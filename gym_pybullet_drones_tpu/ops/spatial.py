@@ -62,14 +62,15 @@ def auto_bs(bs, n):
 
     Wide 1024-lane source blocks amortize grid overhead for big fleets
     (+18-21% measured at 65k) but lose at 4096 ((256, 1024) tiles pressure
-    VMEM); the measured crossover is ~16k. Round 4: 2048 lanes win again at
-    131k+ with the sub-tile masks (0.627->0.674M / 0.424->0.490M drone
-    -steps/s at 131k pitch-4; +8%/+16% at pitch 2 — docs/PERF.md round-4
-    table). ONE definition for the five pair-kernel entry points — retune
-    here, not per kernel."""
+    VMEM); the measured crossover is ~16k. Round 4: with the per-sub-tile
+    masks (the kernels skip dead 128-lane slices, so an extra-wide block no
+    longer drags dead lanes through the VPU) 2048 lanes win from 65k up —
+    65k pitch-4 0.79->0.84M / 0.51->0.56M, 131k pitch-4 0.63->0.67M /
+    0.42->0.49M drone-steps/s (docs/PERF.md round-4 table). ONE definition
+    for the five pair-kernel entry points — retune here, not per kernel."""
     if bs is not None:
         return bs
-    if n >= 131072:
+    if n >= 65536:
         return 2048
     return 1024 if n >= 16384 else 512
 

@@ -478,3 +478,40 @@ def test_sorted_swarm_neighbor_backend_matches_masked():
         outs.append(export(s, kin))
     for a, b in zip(jax.tree.leaves(outs[0]), jax.tree.leaves(outs[1])):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_subtile_packed_mask_unit():
+    """subtile_packed_mask == brute-force per-slice tests: bit k is the
+    wake mask of the k-th 128-wide source slice at (bt, 128) granularity,
+    bit 8+k the contact mask; OR of sub-bits == the coarse tile mask."""
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.ops.spatial import (
+        contact_live_mask,
+        subtile_count,
+        subtile_packed_mask,
+        wake_live_mask,
+    )
+
+    params = drone_params()
+    rng = np.random.RandomState(3)
+    N, bt, bs = 1024, 128, 256
+    x, y, z = (jnp.asarray(rng.uniform(0, 12, N), jnp.float32)
+               for _ in range(3))
+    sub = subtile_count(bs)
+    assert sub == 2
+    packed = np.asarray(subtile_packed_mask(
+        x, y, z, bt, bs, min_dist=0.12, params=params)).reshape(N // bt,
+                                                                N // bs)
+    fine_w = np.asarray(wake_live_mask(x, y, z, bt, bs // sub,
+                                       params=params)).reshape(
+        N // bt, N // bs, sub)
+    fine_c = np.asarray(contact_live_mask(x, y, z, bt, bs // sub,
+                                          0.12)).reshape(N // bt,
+                                                         N // bs, sub)
+    expect = ((fine_w << np.arange(sub)).sum(-1)
+              | ((fine_c << (np.arange(sub) + 8)).sum(-1)))
+    np.testing.assert_array_equal(packed, expect)
+    # OR of sub-bits == the coarse (bt, bs) tile mask
+    coarse_w = np.asarray(wake_live_mask(x, y, z, bt, bs, params=params))
+    np.testing.assert_array_equal(
+        ((packed & 0xFF) != 0).astype(np.int32), coarse_w)

@@ -162,7 +162,7 @@ def make_downwash_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
 
 def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                          interpret: bool = False, cone: bool = True,
-                         neighbor_cap=None):
+                         neighbor_cap=None, dense_fallback: bool = True):
     """Mask-gated downwash pass for ARBITRARILY permuted fleets.
 
     Round-3 variant (VERDICT r2 item #3): instead of sorting around every
@@ -186,6 +186,21 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     it. Rows keep ascending source order -> results are BIT-IDENTICAL to the
     dense masked grid at equal (bt, bs); if any row exceeds the cap the pass
     falls back to the dense masked grid under lax.cond (exact, never drops).
+
+    ``dense_fallback=False`` (round-4 binned layouts): the cap-overflow
+    branch becomes the plain z-sorted dense kernel instead of the dense
+    MASKED grid — at binned-cell tile counts (nt = ns = number of cells,
+    e.g. 484 at 131k) the dense grid's nt*ns prefetch mask would approach
+    the v5e's 1 MB SMEM cap even as dead code inside lax.cond. The z-sorted
+    pass needs no mask array; it reorders the f32 pair sums (docstring
+    above), so this mode trades the bit-identical-fallback guarantee for
+    SMEM safety — the fallback only fires when a row's live tiles exceed
+    the cap, which the binned geometry bounds by construction.
+
+    The column entries accept ``valid`` — a bool column marking real slots
+    in a padded binned layout. It only tightens the tile bounds
+    (spatial.tile_bounds6): padding sentinels are already per-pair inert in
+    the kernel (z = -1e9 fails dz > 0 against any real drone).
     """
     from gym_pybullet_drones_tpu.ops.spatial import (
         subtile_count,
@@ -235,7 +250,7 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
 
         return kernel
 
-    def dw_cols(x, y, z):
+    def dw_cols(x, y, z, valid=None):
         from gym_pybullet_drones_tpu.ops.spatial import (
             auto_bs,
             auto_nbr_cap,
@@ -251,7 +266,7 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
         # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).
         mask = subtile_packed_mask(x, y, z, bt_e, bs_e, params=params,
-                                   cone=cone)
+                                   cone=cone, valid=valid)
         args = (x.reshape(N, 1), y.reshape(N, 1), z.reshape(N, 1),
                 x.reshape(1, N), y.reshape(1, N), z.reshape(1, N))
         kernel = make_kernel(sub_n, bs_e)
@@ -282,9 +297,16 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
             cap = auto_nbr_cap(ns) if neighbor_cap is True else neighbor_cap
             cap = min(cap, ns)
             idx, count_max = compact_live_tiles(mask, nt, ns, cap)
+            if dense_fallback:
+                overflow = lambda: run((nt, ns), mask,
+                                       lambda i, j, m: (0, j))
+            else:
+                plain = make_downwash_pallas(params, bt=bt, bs=bs,
+                                             interpret=interpret, z_sort=True)
+                overflow = lambda: plain.cols(x, y, z).reshape(N, 1)
             out = jax.lax.cond(
                 count_max > cap,
-                lambda: run((nt, ns), mask, lambda i, j, m: (0, j)),
+                overflow,
                 lambda: run((nt, cap), idx,
                             lambda i, j, m: (0, m[i * cap + j] >> 16)),
             )

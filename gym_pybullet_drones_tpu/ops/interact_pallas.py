@@ -182,7 +182,8 @@ def make_interact_pallas(params: DroneParams, bt: int = _BT, bs=_BS,
 
 def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                          max_push: float = 0.01, interpret: bool = False,
-                         cone: bool = True, neighbor_cap=None):
+                         cone: bool = True, neighbor_cap=None,
+                         dense_fallback: bool = True):
     """Mask-gated fused wake+contact pass for arbitrarily permuted fleets.
 
     The round-3 counterpart of `make_interact_pallas` for the persistently-
@@ -194,9 +195,11 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
 
     ``neighbor_cap``: round-4 cell-list path — compacted live-tile lists
     with prefetch-indexed source blocks and dense-grid fallback on overflow;
-    semantics and caveats exactly as `make_downwash_masked`. The packed
-    prefetch words carry BOTH mask bits (wake|contact<<1), so the fused
-    kernel body is unchanged."""
+    semantics and caveats exactly as `make_downwash_masked` — including
+    ``dense_fallback=False`` (z-sorted dense overflow branch, SMEM-free at
+    binned-cell tile counts) and the ``valid`` padding column on the column
+    entry. The packed prefetch words carry BOTH mask bits
+    (wake|contact<<1), so the fused kernel body is unchanged."""
     from gym_pybullet_drones_tpu.ops.spatial import (
         subtile_count,
         subtile_packed_mask,
@@ -271,7 +274,7 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
 
         return kernel
 
-    def interact_cols(x, y, z, vx, vy, vz):
+    def interact_cols(x, y, z, vx, vy, vz, valid=None):
         from gym_pybullet_drones_tpu.ops.spatial import (
             auto_bs,
             auto_nbr_cap,
@@ -288,7 +291,7 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         # packed per-sub-tile wake|contact mask; rides scalar prefetch (SMEM)
         mask = subtile_packed_mask(comps[0], comps[1], comps[2], bt_e, bs_e,
                                    min_dist=min_dist, params=params,
-                                   cone=cone)
+                                   cone=cone, valid=valid)
         cols_t = [a.reshape(N, 1) for a in comps]
         cols_s = [a.reshape(1, N) for a in comps]
         kernel = make_kernel(sub_n, bs_e)
@@ -320,9 +323,21 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
             cap = auto_nbr_cap(ns) if neighbor_cap is True else neighbor_cap
             cap = min(cap, ns)
             idx, count_max = compact_live_tiles(mask, nt, ns, cap)
+            if dense_fallback:
+                overflow = lambda: run((nt, ns), mask,
+                                       lambda i, j, m: (0, j))
+            else:
+                plain = make_interact_pallas(params, bt=bt, bs=bs,
+                                             max_push=max_push,
+                                             interpret=interpret, z_sort=True)
+
+                def overflow():
+                    mag, dp, dv = plain.cols(*comps)
+                    return tuple(o.reshape(N, 1) for o in (mag, *dp, *dv))
+
             outs = jax.lax.cond(
                 count_max > cap,
-                lambda: run((nt, ns), mask, lambda i, j, m: (0, j)),
+                overflow,
                 lambda: run((nt, cap), idx,
                             lambda i, j, m: (0, m[i * cap + j] >> 16)),
             )

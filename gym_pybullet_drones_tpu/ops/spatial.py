@@ -81,7 +81,7 @@ def tile_bounds(col, block):
     return t.min(axis=1), t.max(axis=1)
 
 
-def tile_bounds6(x, y, z, block):
+def tile_bounds6(x, y, z, block, valid=None):
     """All six per-tile bounds in ONE reduction kernel.
 
     The masks are recomputed inside the fused swarm step every pair pass and
@@ -90,9 +90,19 @@ def tile_bounds6(x, y, z, block):
     a naive per-column min/max is ~12 tiny reduce kernels whose launch
     latency adds up. Stacking into (6, nt, block) keeps it to one.
 
+    ``valid`` (round-4 binned cell-list layout): optional (N,) bool column;
+    invalid (padding) slots are EXCLUDED from the bounds, so tiles made only
+    of padding get an EMPTY box (min=+1e30 > max=-1e30) — every box-gap test
+    then reads "infinitely far" and the tile goes dead in all masks. Mixed
+    tiles get the exact bounds of their real members. (Without this, the
+    padding sentinel coordinates would inflate the boxes and defeat culling;
+    the sentinels themselves stay per-pair-masked in the kernels either way.)
+
     Returns (xmin, ymin, zmin, xmax, ymax, zmax), each (N // block,).
     """
     a = jnp.stack([x, y, z, -x, -y, -z]).reshape(6, -1, block)
+    if valid is not None:
+        a = jnp.where(valid.reshape(1, -1, block), a, jnp.float32(1e30))
     m = a.min(axis=2)
     return m[0], m[1], m[2], -m[3], -m[4], -m[5]
 
@@ -140,13 +150,14 @@ def _contact_live_from_bounds(tb, sb, min_dist):
     return live
 
 
-def _bounds_pair(x, y, z, bt, bs, src_cols=None):
-    tb = tile_bounds6(x, y, z, bt)
+def _bounds_pair(x, y, z, bt, bs, src_cols=None, valid=None):
+    tb = tile_bounds6(x, y, z, bt, valid=valid)
     if src_cols is None and bt == bs:
         sb = tb
     else:
         xs, ys, zs = (x, y, z) if src_cols is None else src_cols
-        sb = tile_bounds6(xs, ys, zs, bs)
+        sb = tile_bounds6(xs, ys, zs, bs,
+                          valid=None if src_cols is not None else valid)
     return tb, sb
 
 
@@ -192,7 +203,7 @@ def subtile_count(bs):
 
 
 def subtile_packed_mask(x, y, z, bt, bs, min_dist=None, params=None,
-                        cone=True):
+                        cone=True, valid=None):
     """Flat (nt*ns,) int32 with PER-SUB-TILE live bits (round 4).
 
     The round-3 masks gate whole (bt, bs) tiles, so the culling floor is the
@@ -206,10 +217,14 @@ def subtile_packed_mask(x, y, z, bt, bs, min_dist=None, params=None,
     and the same SMEM footprint (still one word per tile pair).
 
     ``min_dist`` None -> wake bits only (downwash pass).
+    ``valid``: optional padding-exclusion column for binned layouts
+    (tile_bounds6) — all-padding tiles AND all-padding 128-lane slices get
+    empty boxes and go dead, which is what makes padded-cell capacity
+    headroom nearly free in the binned backend.
     """
     sub = subtile_count(bs)
     sub_w = bs // sub
-    tb, sb = _bounds_pair(x, y, z, bt, sub_w)
+    tb, sb = _bounds_pair(x, y, z, bt, sub_w, valid=valid)
     nt = tb[0].shape[0]
     wake = _wake_live_from_bounds(tb, sb, params, cone)  # (nt, ns*sub)
     bits = jnp.arange(sub, dtype=jnp.int32)

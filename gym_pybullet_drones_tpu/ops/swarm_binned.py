@@ -1,0 +1,255 @@
+"""Padded xy-cell binned swarm backend: the true cell-list pair path.
+
+Round 4's sub-tile masks and compacted tile lists (ops/spatial) hit a
+measured floor: with a Morton-sorted fleet the culling resolution is the
+TILE BOX size — a 256-drone Morton box is ~25 m wide against the wake's
+10 m lateral cutoff (BaseAviary.py:801), so at 65k/pitch-4 the live pair
+fraction bottoms out at ~20% while the true per-pair live fraction is
+~0.5% (docs/PERF.md round-4 microprofile). This module removes that floor
+by changing the LAYOUT instead of the kernel: the fleet lives in padded
+xy-cell bins —
+
+  * the footprint is divided into an (nx, ny) grid of square cells
+    (``cell_size`` >= nothing in particular: correctness never depends on
+    it — the exact value-based masks are computed from actual coordinates);
+  * each cell owns a fixed ``cap``-slot block of the state arrays; its
+    drones occupy the first slots sorted by z, the rest are padding;
+  * pair-kernel tiles are exactly cell blocks (bt = bs = cap), so a tile's
+    bounding box is one cell's real extent: the existing value-based masks
+    (ops/spatial.subtile_packed_mask with ``valid``-aware bounds) kill every
+    tile pair whose cells are farther than 10 m apart in xy — the cell-list
+    neighborhood emerges from the masks with NO new kernel code — and the
+    per-128-lane sub-tile bits kill all-padding z-slices, so capacity
+    headroom costs ~nothing in pair math;
+  * the compacted live-tile grid (spatial.compact_live_tiles via
+    ``neighbor_cap``) then enumerates only each cell's ~(2*ceil(10/s)+1)^2
+    live neighbor tiles: total pair work is O(ncells * ring * cap^2)
+    = O(N * k) at fixed density, independent of fleet size.
+
+Padding slots hold inert sentinels (pos (0, 0, -1e9), identity quat, zero
+velocity): z = -1e9 fails the wake's dz > 0 against any real drone and
+puts contact distances at ~1e18, and coincident padding pairs are killed
+by the kernels' own d2 > eps^2 / dz > 0 guards — so padding is per-pair
+invisible even when a tile mask conservatively includes it. Padding rows
+are additionally frozen to their sentinels after every substep.
+
+Layout overflow NEVER drops a drone: if any cell exceeds ``cap`` at a
+rebin, the new layout packs the whole (cell, z)-sorted fleet densely into
+the first N slots instead (a Morton-quality coherent order) — the value
+masks stay exact for any permutation, only culling efficiency degrades.
+A pass-level second guard (``dense_fallback=False`` in the masked kernels)
+handles live-tile-cap overflow with the z-sorted dense kernel, SMEM-free.
+
+Semantics match `swarm_soa.make_sorted_swarm` exactly (same substep chain,
+same carried-wake schedule, same stated f32-reorder caveats); parity is
+pinned in tests/test_soa.py.
+"""
+
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gym_pybullet_drones_tpu.core.params import DroneParams
+from gym_pybullet_drones_tpu.ops.velocity_soa import (
+    physics_consts,
+    physics_substep_soa,
+)
+from gym_pybullet_drones_tpu.ops.swarm_soa import (
+    swarm_soa_from_kin,
+    swarm_soa_to_kin,
+)
+
+_ZPAD = -1e9  # padding z sentinel: below any flyable altitude by ~1e9 m
+
+# state columns and their padding sentinels
+_SENT = dict(px=0.0, py=0.0, pz=_ZPAD, qx=0.0, qy=0.0, qz=0.0, qw=1.0,
+             vx=0.0, vy=0.0, vz=0.0, wx=0.0, wy=0.0, wz=0.0, mag=0.0)
+
+
+def binned_geometry(pos, occ_target=256, headroom=1.3, max_cap=2048):
+    """Host-side helper: pick (cell_size, nx, ny, cap) for an initial fleet.
+
+    Aims for ~``occ_target`` drones per cell COLUMN (cells span all z — the
+    wake's dz is unbounded, only xy is cut at 10 m), capacity = measured max
+    occupancy x ``headroom`` rounded up to the 128-lane granule. Purely a
+    performance choice: any (cell_size, nx, ny, cap) is correct.
+    """
+    p = np.asarray(pos)
+    x, y = p[:, 0], p[:, 1]
+    n = x.shape[0]
+    ex = max(float(x.max() - x.min()), 1e-6)
+    ey = max(float(y.max() - y.min()), 1e-6)
+    s = math.sqrt(ex * ey * occ_target / n)
+    nx = int(np.ceil(ex / s)) + 1
+    ny = int(np.ceil(ey / s)) + 1
+    cx = np.clip(np.floor((x - x.min()) / s).astype(np.int64), 0, nx - 1)
+    cy = np.clip(np.floor((y - y.min()) / s).astype(np.int64), 0, ny - 1)
+    occ = int(np.bincount(cx * ny + cy, minlength=nx * ny).max())
+    cap = min(max_cap, int(np.ceil(occ * headroom / 128)) * 128)
+    cap = max(cap, 128)
+    while nx * ny * cap < n:  # identity fallback must fit the whole fleet
+        cap += 128
+    return float(s), nx, ny, cap
+
+
+def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
+                      collisions: bool = False, cell_size: float = 10.0,
+                      nx: int = 8, ny: int = 8, cap: int = 256,
+                      resort_every: int = 4, cone: bool = True,
+                      neighbor_cap=None, bs=None, interpret: bool = False):
+    """Binned cell-list coupled-swarm loop. Returns ``(init, step, export)``
+    with the same contract as `swarm_soa.make_sorted_swarm` (rpm columns in
+    ORIGINAL drone order; export scatters back).
+
+    ``cap`` slots per cell (128-multiple); ``bs`` sub-divides the cell for
+    finer source tiles (default = cap, one tile per cell); ``neighbor_cap``
+    live source tiles kept per target row (default: 2x the wake ring
+    (2*ceil(10/cell)+1)^2 scaled by cap//bs — overflow falls back to the
+    z-sorted dense pass, never drops).
+    """
+    from gym_pybullet_drones_tpu.ops.downwash_pallas import (
+        make_downwash_masked,
+    )
+    from gym_pybullet_drones_tpu.ops.interact_pallas import (
+        make_interact_masked,
+    )
+
+    ncells = nx * ny
+    nslots = ncells * cap
+    if cap % 128 != 0:
+        raise ValueError(f"cap must be a 128-lane multiple, got {cap}")
+    bs = cap if bs is None else bs
+    if cap % bs != 0:
+        raise ValueError(f"bs must divide cap, got bs={bs} cap={cap}")
+    if neighbor_cap is None:
+        ring = 2 * int(math.ceil(10.0 / cell_size)) + 1
+        neighbor_cap = min(nslots // bs, 2 * ring * ring * (cap // bs))
+    c = physics_consts(params)
+    dw_m = make_downwash_masked(params, bt=cap, bs=bs, interpret=interpret,
+                                cone=cone, neighbor_cap=neighbor_cap,
+                                dense_fallback=False)
+    ia_m = (make_interact_masked(params, bt=cap, bs=bs, interpret=interpret,
+                                 cone=cone, neighbor_cap=neighbor_cap,
+                                 dense_fallback=False)
+            if collisions else None)
+    _COLS = tuple(_SENT)  # state columns (incl. mag), excl. ids/valid/t
+
+    def _layout(ox, oy, oz):
+        """Original-order coordinate columns -> (ids, valid) slot arrays.
+
+        ids[slot] = original drone index (N for padding); drones of a cell
+        occupy its slot block sorted by z (so 128-lane sub-tiles are z-slabs
+        and the sub-tile mask bits double as a z cull). If any cell
+        overflows ``cap``, the ENTIRE fleet instead packs densely into the
+        first N slots in (cell, z) order — never drops, stays coherent.
+        """
+        n = ox.shape[0]
+        cx = jnp.clip(jnp.floor((ox - ox.min()) / cell_size), 0, nx - 1)
+        cy = jnp.clip(jnp.floor((oy - oy.min()) / cell_size), 0, ny - 1)
+        cell = cx.astype(jnp.int32) * ny + cy.astype(jnp.int32)
+        o1 = jnp.argsort(oz)
+        o2 = jnp.argsort(cell[o1], stable=True)  # stable: z order kept
+        perm = o1[o2]
+        cell_p = cell[perm]
+        counts = jnp.bincount(cell, length=ncells)
+        starts = jnp.cumsum(counts) - counts
+        rank = jnp.arange(n, dtype=jnp.int32) - starts[cell_p].astype(
+            jnp.int32)
+        overflow = counts.max() > cap
+        slot = jnp.where(overflow, jnp.arange(n, dtype=jnp.int32),
+                         cell_p * cap + rank)
+        ids = jnp.full((nslots,), n, jnp.int32).at[slot].set(
+            perm.astype(jnp.int32))
+        return ids, ids < n
+
+    def _gather(orig, ids, valid):
+        """Original-order column dict -> sentinel-padded slot columns."""
+        safe = jnp.clip(ids, 0, orig["px"].shape[0] - 1)
+        return {k: jnp.where(valid, orig[k][safe],
+                             jnp.asarray(_SENT[k], orig[k].dtype))
+                for k in orig}
+
+    def _freeze(s_cols, valid):
+        """Pin padding rows to their sentinels after a substep/pair pass."""
+        return {k: jnp.where(valid, v, jnp.asarray(_SENT[k], v.dtype))
+                for k, v in s_cols.items()}
+
+    def _unbin(s, N):
+        """Slot columns -> original-order columns (padding dropped).
+
+        ``N`` is the STATIC fleet size (taken from a shape, never carried
+        in the traced state). Padding slots hold ids == N, which the
+        out-of-bounds scatter drops; every real slot writes its original
+        row exactly once.
+        """
+        orig = {}
+        for k in _COLS:
+            orig[k] = jnp.zeros((N,), s[k].dtype).at[s["ids"]].set(
+                s[k], mode="drop")
+        return orig
+
+    def _rebin(s, N):
+        orig = _unbin(s, N)
+        ids, valid = _layout(orig["px"], orig["py"], orig["pz"])
+        out = _gather(orig, ids, valid)
+        out["ids"], out["valid"], out["t"] = ids, valid, s["t"]
+        return out
+
+    def init(kin):
+        orig = swarm_soa_from_kin(kin)
+        n = orig["px"].shape[0]
+        if nslots < n:
+            raise ValueError(
+                f"binned layout too small: {nslots} slots < {n} drones")
+        orig["mag"] = jnp.zeros_like(orig["px"])
+        ids, valid = _layout(orig["px"], orig["py"], orig["pz"])
+        s = _gather(orig, ids, valid)
+        s["ids"], s["valid"], s["t"] = ids, valid, jnp.int32(0)
+        s["mag"] = jnp.where(
+            valid, dw_m.cols(s["px"], s["py"], s["pz"], valid=valid), 0.0)
+        return s
+
+    def step(s, rpm_cols):
+        N = rpm_cols[0].shape[0]  # static fleet size
+        s = jax.lax.cond((s["t"] % resort_every) == 0,
+                         lambda x: _rebin(x, N), lambda x: x, s)
+        ids, valid = s["ids"], s["valid"]
+        safe = jnp.clip(ids, 0, N - 1)
+        rpm_sorted = [r[safe] for r in rpm_cols]  # padding rows are frozen
+        cols = {k: s[k] for k in _COLS}
+        for _ in range(n_substeps):
+            (cols["px"], cols["py"], cols["pz"], cols["qx"], cols["qy"],
+             cols["qz"], cols["qw"], cols["vx"], cols["vy"], cols["vz"],
+             cols["wx"], cols["wy"], cols["wz"]) = physics_substep_soa(
+                c, dt, cols["px"], cols["py"], cols["pz"], cols["qx"],
+                cols["qy"], cols["qz"], cols["qw"], cols["vx"], cols["vy"],
+                cols["vz"], cols["wx"], cols["wy"], cols["wz"], rpm_sorted,
+                fz_body=cols["mag"])
+            if collisions:
+                mag, dp, dv = ia_m.cols(cols["px"], cols["py"], cols["pz"],
+                                        cols["vx"], cols["vy"], cols["vz"],
+                                        valid=valid)
+                cols["mag"] = mag
+                cols["px"] = cols["px"] + dp[0]
+                cols["py"] = cols["py"] + dp[1]
+                cols["pz"] = cols["pz"] + dp[2]
+                cols["vx"] = cols["vx"] + dv[0]
+                cols["vy"] = cols["vy"] + dv[1]
+                cols["vz"] = cols["vz"] + dv[2]
+            else:
+                cols["mag"] = dw_m.cols(cols["px"], cols["py"], cols["pz"],
+                                        valid=valid)
+            cols = _freeze(cols, valid)
+        out = dict(cols)
+        out["ids"], out["valid"], out["t"] = ids, valid, s["t"] + 1
+        return out
+
+    def export(s, template):
+        orig = _unbin(s, template.pos.shape[0])
+        orig.pop("mag")
+        return swarm_soa_to_kin(orig, template)
+
+    return init, step, export

@@ -46,7 +46,43 @@ def main():
     rpm_cols = [rpm[:, m] for m in range(4)]
 
     for collisions in (False, True):
-        if backend == "sorted":
+        if backend == "binned":
+            from gym_pybullet_drones_tpu.ops.swarm_binned import (
+                binned_geometry, make_binned_swarm,
+            )
+
+            resort = int(os.environ.get("SWARM_RESORT", "4"))
+            # SWARM_CELL/SWARM_CAP override the auto geometry; SWARM_OCC
+            # picks the occupancy target for the auto cell size; SWARM_BS
+            # sub-divides cells into finer source tiles.
+            occ = int(os.environ.get("SWARM_OCC", "256"))
+            cell, bnx, bny, bcap = binned_geometry(np.asarray(pos),
+                                                   occ_target=occ)
+            if os.environ.get("SWARM_CELL", ""):
+                cell = float(os.environ["SWARM_CELL"])
+                pxy = np.asarray(pos)[:, :2]
+                ext = float((pxy.max(0) - pxy.min(0)).max())
+                bnx = bny = int(np.ceil(ext / cell)) + 1
+            if os.environ.get("SWARM_CAP", ""):
+                bcap = int(os.environ["SWARM_CAP"])
+            bs_env = os.environ.get("SWARM_BS", "")
+            print(f"binned geometry: cell={cell:.2f} grid={bnx}x{bny} "
+                  f"cap={bcap} slots={bnx * bny * bcap}", flush=True)
+            init, sstep, export = make_binned_swarm(
+                params, 1 / 240, 5, collisions=collisions, cell_size=cell,
+                nx=bnx, ny=bny, cap=bcap, resort_every=resort,
+                bs=int(bs_env) if bs_env else None)
+            s0 = jax.jit(init)(kin)
+
+            @jax.jit
+            def run_chunk(s, rpm_cols):
+                def body(s, _):
+                    return sstep(s, rpm_cols), None
+                s, _ = jax.lax.scan(body, s, None, length=chunk)
+                return s
+
+            args = (s0, rpm_cols)
+        elif backend == "sorted":
             from gym_pybullet_drones_tpu.ops.swarm_soa import make_sorted_swarm
 
             order = os.environ.get("SWARM_ORDER", "z")

@@ -515,3 +515,114 @@ def test_subtile_packed_mask_unit():
     coarse_w = np.asarray(wake_live_mask(x, y, z, bt, bs, params=params))
     np.testing.assert_array_equal(
         ((packed & 0xFF) != 0).astype(np.int32), coarse_w)
+
+
+def test_tile_bounds6_valid_excludes_padding():
+    """Round-4 validity-aware bounds: padding slots are excluded, so mixed
+    tiles get the exact bounds of their real members and all-padding tiles
+    get an EMPTY box (min > max) — which every box-gap test reads as
+    infinitely far, killing the tile in all masks."""
+    from gym_pybullet_drones_tpu.ops.spatial import tile_bounds6
+
+    rng = np.random.RandomState(9)
+    x, y, z = (jnp.asarray(rng.uniform(-5, 5, 256), jnp.float32)
+               for _ in range(3))
+    valid = jnp.asarray(rng.rand(256) < 0.7)
+    valid = valid.at[64:128].set(False)  # one all-padding tile
+    # plant sentinels on padding slots like the binned layout does
+    xs = jnp.where(valid, x, 0.0)
+    zs = jnp.where(valid, z, -1e9)
+    b = tile_bounds6(xs, y, zs, 64, valid=valid)
+    for t in range(4):
+        sel = np.asarray(valid[t * 64:(t + 1) * 64])
+        if not sel.any():
+            assert float(b[0][t]) > float(b[3][t])  # empty box
+            continue
+        np.testing.assert_allclose(float(b[2][t]),
+                                   np.asarray(z)[t * 64:(t + 1) * 64][sel].min())
+        np.testing.assert_allclose(float(b[5][t]),
+                                   np.asarray(z)[t * 64:(t + 1) * 64][sel].max())
+
+
+def test_binned_swarm_matches_soa_step():
+    """Round-4 binned cell-list backend (ops/swarm_binned) == the per-pass
+    sorted SoA step over several control steps, on the wake-sane spread
+    lattice (no contact) and the co-planar contact lattice, in three
+    regimes: comfortable capacity, sub-cell source tiles (bs < cap), and
+    FORCED layout overflow (cap too small -> dense (cell,z)-packed layout +
+    the z-sorted pass-level fallback; correctness must never depend on the
+    caps)."""
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+    from gym_pybullet_drones_tpu.ops.swarm_binned import (
+        binned_geometry,
+        make_binned_swarm,
+    )
+    from gym_pybullet_drones_tpu.ops.swarm_soa import (
+        make_swarm_step_soa,
+        swarm_soa_from_kin,
+        swarm_soa_to_kin,
+    )
+
+    params = drone_params(DroneModel.CF2X)
+    n = 512
+    rng = np.random.RandomState(11)
+    g = np.stack(np.meshgrid(*[np.arange(8) * 2.0] * 3), -1).reshape(-1, 3)
+    pos = jnp.asarray((g + rng.uniform(-0.4, 0.4, g.shape)
+                       + [0, 0, 1.0]).astype(np.float32))
+    kin = init_kin_state(pos, jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    kin = kin.replace(vel=jnp.asarray(
+        rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)))
+
+    base = np.stack(np.meshgrid(np.arange(16) * 0.5, np.arange(16) * 0.5),
+                    -1).reshape(-1, 2)
+    xy = np.concatenate([base, base + [0.1, 0.0]], axis=0)
+    cpos = np.concatenate([xy, np.full((n, 1), 1.0)], 1).astype(np.float32)
+    ckin = init_kin_state(jnp.asarray(cpos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    cvel = rng.uniform(-0.2, 0.2, (n, 3)).astype(np.float32)
+    cvel[:, 2] = 0.0
+    ckin = ckin.replace(vel=jnp.asarray(cvel))
+
+    rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
+    rpm_cols = [rpm[:, m] for m in range(4)]
+    steps = 3
+
+    cell, gnx, gny, gcap = binned_geometry(np.asarray(pos), occ_target=64)
+    assert gcap % 128 == 0 and gnx * gny * gcap >= n
+    arms = [
+        (kin, False, dict(cell_size=cell, nx=gnx, ny=gny, cap=gcap)),
+        (kin, False, dict(cell_size=cell, nx=gnx, ny=gny, cap=256, bs=128)),
+        (ckin, True, dict(cell_size=3.0, nx=4, ny=4, cap=256)),
+        # 1 m cells clipped to 3x3: the edge cell holds ~278 > 128 drones
+        (ckin, True, dict(cell_size=1.0, nx=3, ny=3, cap=128)),
+    ]
+    for k0, collisions, kw in arms:
+        soa_step = make_swarm_step_soa(params, 1 / 240, 5,
+                                       collisions=collisions, interpret=True)
+        s = swarm_soa_from_kin(k0)
+        for _ in range(steps):
+            s = soa_step(s, rpm_cols)
+        ref_kin = swarm_soa_to_kin(s, k0)
+
+        init, sstep, export = make_binned_swarm(
+            params, 1 / 240, 5, collisions=collisions, interpret=True,
+            resort_every=2, **kw)
+        ss = jax.jit(init)(k0)
+
+        @jax.jit
+        def run(ss, rpm_cols):
+            def body(ss, _):
+                return sstep(ss, rpm_cols), None
+            ss, _ = jax.lax.scan(body, ss, None, length=steps)
+            return ss
+
+        got = export(run(ss, rpm_cols), k0)
+        np.testing.assert_allclose(np.asarray(got.pos),
+                                   np.asarray(ref_kin.pos), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got.vel),
+                                   np.asarray(ref_kin.vel), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(got.quat),
+                                   np.asarray(ref_kin.quat), atol=1e-5)

@@ -69,20 +69,25 @@ _SENT = dict(px=0.0, py=0.0, pz=_ZPAD, qx=0.0, qy=0.0, qz=0.0, qw=1.0,
              vx=0.0, vy=0.0, vz=0.0, wx=0.0, wy=0.0, wz=0.0, mag=0.0)
 
 
-def binned_geometry(pos, occ_target=256, headroom=1.3, max_cap=2048):
+def binned_geometry(pos, occ_target=256, headroom=1.25, max_cap=2048,
+                    min_cell=10.0):
     """Host-side helper: pick (cell_size, nx, ny, cap) for an initial fleet.
 
     Aims for ~``occ_target`` drones per cell COLUMN (cells span all z — the
     wake's dz is unbounded, only xy is cut at 10 m), capacity = measured max
-    occupancy x ``headroom`` rounded up to the 128-lane granule. Purely a
-    performance choice: any (cell_size, nx, ny, cap) is correct.
+    occupancy x ``headroom`` rounded up to the 128-lane granule. Cells are
+    clamped at ``min_cell`` = the 10 m wake cutoff: a smaller cell widens
+    the live ring from 3x3 to 5x5 tiles and loses more than the finer
+    occupancy wins (measured at 131k/pitch-4: cell 8.82 m -> 0.90M,
+    cell 10 m -> 1.18M drone-steps/s). Purely a performance choice: any
+    (cell_size, nx, ny, cap) is correct.
     """
     p = np.asarray(pos)
     x, y = p[:, 0], p[:, 1]
     n = x.shape[0]
     ex = max(float(x.max() - x.min()), 1e-6)
     ey = max(float(y.max() - y.min()), 1e-6)
-    s = math.sqrt(ex * ey * occ_target / n)
+    s = max(math.sqrt(ex * ey * occ_target / n), min_cell)
     nx = int(np.ceil(ex / s)) + 1
     ny = int(np.ceil(ey / s)) + 1
     cx = np.clip(np.floor((x - x.min()) / s).astype(np.int64), 0, nx - 1)
@@ -99,16 +104,27 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
                       collisions: bool = False, cell_size: float = 10.0,
                       nx: int = 8, ny: int = 8, cap: int = 256,
                       resort_every: int = 4, cone: bool = True,
-                      neighbor_cap=None, bs=None, interpret: bool = False):
+                      neighbor_cap=None, bt=None, bs=None,
+                      interpret: bool = False):
     """Binned cell-list coupled-swarm loop. Returns ``(init, step, export)``
     with the same contract as `swarm_soa.make_sorted_swarm` (rpm columns in
     ORIGINAL drone order; export scatters back).
 
-    ``cap`` slots per cell (128-multiple); ``bs`` sub-divides the cell for
-    finer source tiles (default = cap, one tile per cell); ``neighbor_cap``
-    live source tiles kept per target row (default: 2x the wake ring
-    (2*ceil(10/cell)+1)^2 scaled by cap//bs — overflow falls back to the
-    z-sorted dense pass, never drops).
+    ``cap`` slots per cell (128-multiple); ``bt``/``bs`` sub-divide the cell
+    block into (target, source) tiles — both are clamped to divisors of
+    ``cap`` so tiles never straddle cells (a straddling box would span two
+    cells and loosen the masks). ``bs`` defaults to the whole cell; ``bt``
+    defaults to the largest cap divisor that keeps the tile inside the
+    v5e's 16 MB scoped-VMEM budget PER KERNEL — measured: the 13-stream
+    fused interact kernel OOMs above ~bt*bs = 512*512 tile elements
+    ((640, 640) allocates 17.38 M), the 7-stream downwash above ~512*1024 —
+    so big-cell layouts (cap 1408 at pitch 2) get sub-cell target slabs
+    automatically. Sub-cell targets cost grid overhead (measured 0.96M vs
+    1.18M drone-steps/s at 131k/pitch-4 for a gratuitous bt=256 at
+    cap=640), so the default only shrinks bt when VMEM forces it.
+    ``neighbor_cap`` live source tiles kept per target row (default: 2x the
+    wake ring (2*ceil(10/cell)+1)^2 scaled by cap//bs — overflow falls back
+    to the z-sorted dense pass, never drops).
     """
     from gym_pybullet_drones_tpu.ops.downwash_pallas import (
         make_downwash_masked,
@@ -116,22 +132,32 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
     from gym_pybullet_drones_tpu.ops.interact_pallas import (
         make_interact_masked,
     )
+    from gym_pybullet_drones_tpu.ops.spatial import fit_block
 
     ncells = nx * ny
     nslots = ncells * cap
     if cap % 128 != 0:
         raise ValueError(f"cap must be a 128-lane multiple, got {cap}")
-    bs = cap if bs is None else bs
+    bs = cap if bs is None else fit_block(bs, cap, 128)
     if cap % bs != 0:
         raise ValueError(f"bs must divide cap, got bs={bs} cap={cap}")
+
+    def vmem_bt(budget_elems):
+        # largest cap divisor (8-sublane granule) whose (bt, bs) tile stays
+        # inside the kernel's measured scoped-VMEM budget
+        want = max(8, min(cap, (budget_elems // bs) // 8 * 8))
+        return fit_block(want, cap, 8)
+
+    bt_dw = vmem_bt(512 * 1024) if bt is None else fit_block(bt, cap, 8)
+    bt_ia = vmem_bt(512 * 512) if bt is None else fit_block(bt, cap, 8)
     if neighbor_cap is None:
         ring = 2 * int(math.ceil(10.0 / cell_size)) + 1
         neighbor_cap = min(nslots // bs, 2 * ring * ring * (cap // bs))
     c = physics_consts(params)
-    dw_m = make_downwash_masked(params, bt=cap, bs=bs, interpret=interpret,
+    dw_m = make_downwash_masked(params, bt=bt_dw, bs=bs, interpret=interpret,
                                 cone=cone, neighbor_cap=neighbor_cap,
                                 dense_fallback=False)
-    ia_m = (make_interact_masked(params, bt=cap, bs=bs, interpret=interpret,
+    ia_m = (make_interact_masked(params, bt=bt_ia, bs=bs, interpret=interpret,
                                  cone=cone, neighbor_cap=neighbor_cap,
                                  dense_fallback=False)
             if collisions else None)

@@ -153,6 +153,18 @@ class PPOConfig:
     # (mean (ratio-1) - log ratio) above 2x target shrinks LR by 1.5x, below
     # target/2 grows it 1.5x, clamped to [lr/100, lr*100]. None = fixed LR.
     target_kl: Optional[float] = None
+    # Mixed deterministic/stochastic rollouts (round-4 RGB-collapse
+    # countermeasure): the first round(det_frac * num_envs) envs roll out
+    # with the MEAN action (no exploration noise). Rationale: the measured
+    # collapse mode trains a noise-dithering policy whose stochastic return
+    # stays high while its mean is useless (docs/ROUND4.md item 5 — eval
+    # freezes at the constant-action attractor while train return holds
+    # ~426). With det envs in the batch, the mean policy's own state
+    # distribution and returns enter the PPO objective: drifting mean
+    # competence shows up as negative advantages instead of being invisible.
+    # The importance ratio stays well-defined — the mean action has finite
+    # Gaussian density under the behavior policy. 0.0 disables (default).
+    det_frac: float = 0.0
 
     @property
     def batch_size(self) -> int:
@@ -277,9 +289,14 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
     )
     n_drones, act_per = env_cfg.num_drones, env_cfg.action_dim
 
+    n_det = int(round(ppo_cfg.det_frac * ppo_cfg.num_envs))
+
     def policy_sample(params, obs, key):
         mean, log_std, value = network.apply(params, obs)
         noise = jax.random.normal(key, mean.shape)
+        if n_det > 0:  # mixed-determinism rollout (PPOConfig.det_frac)
+            det = (jnp.arange(mean.shape[0]) < n_det)[:, None]
+            noise = jnp.where(det, 0.0, noise)
         action = mean + jnp.exp(log_std) * noise
         logp = _gaussian_log_prob(mean, log_std, action)
         return action, logp, value
@@ -427,6 +444,8 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
             episodes_done=traj.done.sum(),
             approx_kl=approx_kl,
         )
+        if n_det > 0:  # the mean policy's own training return, per step
+            metrics["mean_reward_det"] = raw_rewards[:, :n_det].mean()
         new_runner = PPORunnerState(
             params=params, opt_state=opt_state, env_state=env_state,
             obs=obs, rng=rng, update_count=runner.update_count + 1,

@@ -66,11 +66,13 @@ def main():
             if os.environ.get("SWARM_CAP", ""):
                 bcap = int(os.environ["SWARM_CAP"])
             bs_env = os.environ.get("SWARM_BS", "")
+            bt_env = os.environ.get("SWARM_BT", "")
             print(f"binned geometry: cell={cell:.2f} grid={bnx}x{bny} "
                   f"cap={bcap} slots={bnx * bny * bcap}", flush=True)
             init, sstep, export = make_binned_swarm(
                 params, 1 / 240, 5, collisions=collisions, cell_size=cell,
                 nx=bnx, ny=bny, cap=bcap, resort_every=resort,
+                bt=int(bt_env) if bt_env else None,
                 bs=int(bs_env) if bs_env else None)
             s0 = jax.jit(init)(kin)
 

@@ -47,6 +47,12 @@ ARMS = {
     "ent_01": dict(ent_coef=0.01),
     "kl_lr": dict(target_kl=0.01),
     "fs8": dict(frame_stack=8),
+    # Round-4 follow-up arms: mixed deterministic/stochastic rollouts
+    # (PPOConfig.det_frac) aimed at the measured collapse mechanism — the
+    # stochastic objective is blind to mean-policy competence; det envs put
+    # the mean policy's own states and returns into the batch.
+    "det_mix": dict(target_kl=0.01, det_frac=0.25),
+    "det_half": dict(target_kl=0.01, det_frac=0.5),
 }
 
 

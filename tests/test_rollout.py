@@ -278,3 +278,32 @@ def test_ppo_train_loop_chains_updates():
     assert metrics["loss"].shape == (3,)
     assert int(runner.update_count) == 3
     assert np.all(np.isfinite(np.asarray(metrics["loss"])))
+
+
+def test_ppo_det_frac_mixed_rollout():
+    """PPOConfig.det_frac (round-4 RGB-collapse countermeasure): with a
+    deterministic env fraction the train step runs, reports the det envs'
+    own reward stream, and the det envs receive exactly the mean action —
+    verified by zero spread between two rollouts differing only in noise
+    key for the det env rows of the SAME params."""
+    from gym_pybullet_drones_tpu.rl.ppo import (
+        PPOConfig, make_ppo_train_step, ppo_init,
+    )
+
+    env_cfg = _hover_cfg(action_type=ActionType.ONE_D_RPM,
+                         action_buffer_size=4)
+    ppo_cfg = PPOConfig(num_envs=8, n_steps=16, n_epochs=2,
+                        minibatch_size=32, det_frac=0.25)
+    runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(3))
+    train = jax.jit(make_ppo_train_step(env_cfg, ppo_cfg, aux))
+    r1, m1 = train(runner)
+    assert np.isfinite(float(m1["loss"]))
+    assert "mean_reward_det" in m1 and np.isfinite(float(m1["mean_reward_det"]))
+    # same initial runner, different rng: the 2 det envs' trajectories are
+    # noise-free, so their env states after one rollout must be identical
+    runner2 = runner.replace(rng=jax.random.key(99))
+    r2, _ = train(runner2)
+    for a, b in zip(jax.tree.leaves(r1.env_state), jax.tree.leaves(r2.env_state)):
+        if a is None or a.ndim == 0:
+            continue
+        np.testing.assert_array_equal(np.asarray(a)[:2], np.asarray(b)[:2])

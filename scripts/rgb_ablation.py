@@ -53,6 +53,7 @@ ARMS = {
     # the mean policy's own states and returns into the batch.
     "det_mix": dict(target_kl=0.01, det_frac=0.25),
     "det_half": dict(target_kl=0.01, det_frac=0.5),
+    "det_anneal": dict(det_frac=0.25, log_std_anneal_to=-2.5),
 }
 
 

@@ -31,7 +31,10 @@ velocity): z = -1e9 fails the wake's dz > 0 against any real drone and
 puts contact distances at ~1e18, and coincident padding pairs are killed
 by the kernels' own d2 > eps^2 / dz > 0 guards — so padding is per-pair
 invisible even when a tile mask conservatively includes it. Padding rows
-are additionally frozen to their sentinels after every substep.
+are frozen back to their sentinels immediately after every substep —
+BEFORE the pair pass, because the substep's ground clamp would otherwise
+park them at (0, 0, z_min) where they'd phantom-contact real drones
+landed near the origin — and again after the pair updates.
 
 Layout overflow NEVER drops a drone: if any cell exceeds ``cap`` at a
 rebin, the new layout packs the whole (cell, z)-sorted fleet densely into
@@ -70,7 +73,7 @@ _SENT = dict(px=0.0, py=0.0, pz=_ZPAD, qx=0.0, qy=0.0, qz=0.0, qw=1.0,
 
 
 def binned_geometry(pos, occ_target=256, headroom=1.25, max_cap=2048,
-                    min_cell=10.0):
+                    min_cell=10.0, cell=None):
     """Host-side helper: pick (cell_size, nx, ny, cap) for an initial fleet.
 
     Aims for ~``occ_target`` drones per cell COLUMN (cells span all z — the
@@ -81,13 +84,20 @@ def binned_geometry(pos, occ_target=256, headroom=1.25, max_cap=2048,
     occupancy wins (measured at 131k/pitch-4: cell 8.82 m -> 0.90M,
     cell 10 m -> 1.18M drone-steps/s). Purely a performance choice: any
     (cell_size, nx, ny, cap) is correct.
+
+    ``cell``: pin the cell size instead of deriving it from ``occ_target``;
+    the grid AND the cap are recomputed for that size (a larger pinned cell
+    raises per-cell occupancy, and keeping the auto-size cap would push
+    every rebin into the dense-packed overflow fallback — advisor round-4
+    finding on the SWARM_CELL bench override).
     """
     p = np.asarray(pos)
     x, y = p[:, 0], p[:, 1]
     n = x.shape[0]
     ex = max(float(x.max() - x.min()), 1e-6)
     ey = max(float(y.max() - y.min()), 1e-6)
-    s = max(math.sqrt(ex * ey * occ_target / n), min_cell)
+    s = (float(cell) if cell is not None
+         else max(math.sqrt(ex * ey * occ_target / n), min_cell))
     nx = int(np.ceil(ex / s)) + 1
     ny = int(np.ceil(ey / s)) + 1
     cx = np.clip(np.floor((x - x.min()) / s).astype(np.int64), 0, nx - 1)
@@ -254,6 +264,16 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
                 cols["qy"], cols["qz"], cols["qw"], cols["vx"], cols["vy"],
                 cols["vz"], cols["wx"], cols["wy"], cols["wz"], rpm_sorted,
                 fz_body=cols["mag"])
+            # Freeze BEFORE the pair pass: the substep's plane-contact clamp
+            # (velocity_soa.py:206-213) snaps padding rows from pz = -1e9 to
+            # z_min, which would otherwise turn every padding slot of a live
+            # tile into a phantom drone resting at the world origin — a real
+            # drone landed within min_dist of (0, 0, z_min) would receive
+            # phantom contact pushes (the valid-aware tile bounds exclude
+            # padding from the boxes, but the kernel still computes padding
+            # lanes of live tiles with only per-pair guards, and
+            # (0, 0, z_min) passes them). Advisor round-4 finding.
+            cols = _freeze(cols, valid)
             if collisions:
                 mag, dp, dv = ia_m.cols(cols["px"], cols["py"], cols["pz"],
                                         cols["vx"], cols["vy"], cols["vz"],

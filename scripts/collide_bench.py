@@ -56,13 +56,13 @@ def main():
             # picks the occupancy target for the auto cell size; SWARM_BS
             # sub-divides cells into finer source tiles.
             occ = int(os.environ.get("SWARM_OCC", "256"))
-            cell, bnx, bny, bcap = binned_geometry(np.asarray(pos),
-                                                   occ_target=occ)
-            if os.environ.get("SWARM_CELL", ""):
-                cell = float(os.environ["SWARM_CELL"])
-                pxy = np.asarray(pos)[:, :2]
-                ext = float((pxy.max(0) - pxy.min(0)).max())
-                bnx = bny = int(np.ceil(ext / cell)) + 1
+            # SWARM_CELL pins the cell size; binned_geometry recomputes the
+            # grid AND the cap for it (advisor round-4: keeping the auto-cell
+            # cap made every rebin take the dense-packed overflow branch).
+            cell_env = os.environ.get("SWARM_CELL", "")
+            cell, bnx, bny, bcap = binned_geometry(
+                np.asarray(pos), occ_target=occ,
+                cell=float(cell_env) if cell_env else None)
             if os.environ.get("SWARM_CAP", ""):
                 bcap = int(os.environ["SWARM_CAP"])
             bs_env = os.environ.get("SWARM_BS", "")

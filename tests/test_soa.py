@@ -626,3 +626,59 @@ def test_binned_swarm_matches_soa_step():
                                    np.asarray(ref_kin.vel), atol=1e-3)
         np.testing.assert_allclose(np.asarray(got.quat),
                                    np.asarray(ref_kin.quat), atol=1e-5)
+
+
+def test_binned_padding_never_phantoms_landed_drones():
+    """Advisor round-4 regression: the substep's ground clamp snaps padding
+    rows (pz = -1e9) to (0, 0, z_min); if the pair pass ran before the
+    padding freeze, every padding slot of a live tile became a phantom
+    drone resting at the world origin and a real drone landed within
+    min_dist of it received phantom contact pushes. A landed drone near
+    the origin sharing a cell with padding must rest exactly in place and
+    match the dense SoA path."""
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+    from gym_pybullet_drones_tpu.ops.swarm_binned import make_binned_swarm
+    from gym_pybullet_drones_tpu.ops.swarm_soa import (
+        make_swarm_step_soa,
+        swarm_soa_from_kin,
+        swarm_soa_to_kin,
+    )
+
+    params = drone_params(DroneModel.CF2X)
+    z_min = float(params.collision_h) / 2.0 - float(params.collision_z_offset)
+    # Drone 0 landed 4 cm from the origin (inside min_dist = 12 cm of the
+    # phantom point); the rest of the fleet far away so the 3x3 grid has
+    # plenty of padding in drone 0's cell.
+    pos = np.array([[0.04, 0.02, z_min]]
+                   + [[20.0 + i * 2.0, 20.0, 1.0] for i in range(7)],
+                   np.float32)
+    n = pos.shape[0]
+    kin = init_kin_state(jnp.asarray(pos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
+    rpm_cols = [jnp.zeros((n,), jnp.float32)] * 4  # motors off: resting
+    steps = 4
+
+    init, sstep, export = make_binned_swarm(
+        params, 1 / 240, 5, collisions=True, interpret=True,
+        cell_size=10.0, nx=3, ny=3, cap=128, resort_every=2)
+    s = jax.jit(init)(kin)
+    for _ in range(steps):
+        s = jax.jit(sstep)(s, rpm_cols)
+    got = export(s, kin)
+
+    soa_step = make_swarm_step_soa(params, 1 / 240, 5, collisions=True,
+                                   interpret=True)
+    ref = swarm_soa_from_kin(kin)
+    for _ in range(steps):
+        ref = soa_step(ref, rpm_cols)
+    ref_kin = swarm_soa_to_kin(ref, kin)
+
+    # The landed drone must not move laterally at all (phantom pushes were
+    # ~0.5 cm/substep toward +x here), and the whole fleet matches dense.
+    np.testing.assert_array_equal(np.asarray(got.pos)[0, :2], pos[0, :2])
+    np.testing.assert_allclose(np.asarray(got.pos),
+                               np.asarray(ref_kin.pos), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.vel),
+                               np.asarray(ref_kin.vel), atol=1e-6)

@@ -201,6 +201,13 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
     in a padded binned layout. It only tightens the tile bounds
     (spatial.tile_bounds6): padding sentinels are already per-pair inert in
     the kernel (z = -1e9 fails dz > 0 against any real drone).
+
+    ``src``/``src_valid`` (round-5): optional (xs, ys, zs) source columns of
+    a DIFFERENT (Ns,) set with their own padding column — the rectangular
+    form for the sharded binned swarm, where each shard's local targets
+    read wake sources from the all-gathered global slot arrays. The grid
+    becomes (N/bt, Ns/bs); masks, compaction and the z-sorted overflow
+    fallback all operate on the rectangular tile space.
     """
     from gym_pybullet_drones_tpu.ops.spatial import (
         subtile_count,
@@ -250,7 +257,7 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
 
         return kernel
 
-    def dw_cols(x, y, z, valid=None):
+    def dw_cols(x, y, z, valid=None, src=None, src_valid=None):
         from gym_pybullet_drones_tpu.ops.spatial import (
             auto_bs,
             auto_nbr_cap,
@@ -259,16 +266,27 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         )
 
         N = x.shape[0]
+        xs_c, ys_c, zs_c = (x, y, z) if src is None else src
+        Ns = xs_c.shape[0]
         bt_e = fit_block(bt, N, 8)
-        bs_e = fit_block(auto_bs(bs, N), N, 128)
+        bs_e = fit_block(auto_bs(bs, Ns), Ns, 128)
         sub_n = subtile_count(bs_e)
         in_dtype = x.dtype
         x, y, z = (a.astype(jnp.float32) for a in (x, y, z))
+        if src is None:
+            xs_c, ys_c, zs_c = x, y, z
+            src_valid = valid
+        else:
+            xs_c, ys_c, zs_c = (a.astype(jnp.float32)
+                                for a in (xs_c, ys_c, zs_c))
         # Mask rides the scalar-prefetch path (SMEM, readable per grid cell).
-        mask = subtile_packed_mask(x, y, z, bt_e, bs_e, params=params,
-                                   cone=cone, valid=valid)
+        mask = subtile_packed_mask(
+            x, y, z, bt_e, bs_e, params=params, cone=cone, valid=valid,
+            src_cols=None if src is None else (xs_c, ys_c, zs_c),
+            src_valid=None if src is None else src_valid)
         args = (x.reshape(N, 1), y.reshape(N, 1), z.reshape(N, 1),
-                x.reshape(1, N), y.reshape(1, N), z.reshape(1, N))
+                xs_c.reshape(1, Ns), ys_c.reshape(1, Ns),
+                zs_c.reshape(1, Ns))
         kernel = make_kernel(sub_n, bs_e)
 
         def run(grid, prefetch, s_index):
@@ -290,7 +308,7 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                 interpret=interpret,
             )(prefetch, *args)
 
-        nt, ns = N // bt_e, N // bs_e
+        nt, ns = N // bt_e, Ns // bs_e
         if neighbor_cap is None:
             out = run((nt, ns), mask, lambda i, j, m: (0, j))
         else:
@@ -303,7 +321,10 @@ def make_downwash_masked(params: DroneParams, bt: int = _BT, bs=_BS,
             else:
                 plain = make_downwash_pallas(params, bt=bt, bs=bs,
                                              interpret=interpret, z_sort=True)
-                overflow = lambda: plain.cols(x, y, z).reshape(N, 1)
+                overflow = lambda: plain.cols(
+                    x, y, z,
+                    src=None if src is None else (xs_c, ys_c, zs_c),
+                ).reshape(N, 1)
             out = jax.lax.cond(
                 count_max > cap,
                 overflow,

@@ -274,7 +274,12 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
 
         return kernel
 
-    def interact_cols(x, y, z, vx, vy, vz, valid=None):
+    def interact_cols(x, y, z, vx, vy, vz, valid=None, src=None,
+                      src_valid=None):
+        """``src``/``src_valid`` (round-5): optional 6-tuple
+        (xs, ys, zs, vxs, vys, vzs) of a DIFFERENT (Ns,) source set with its
+        own padding column — the rectangular sharded-binned form (see
+        make_downwash_masked). Outputs stay per-TARGET."""
         from gym_pybullet_drones_tpu.ops.spatial import (
             auto_bs,
             auto_nbr_cap,
@@ -283,17 +288,25 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
         )
 
         N = x.shape[0]
+        Ns = N if src is None else src[0].shape[0]
         bt_e = fit_block(bt, N, 8)
-        bs_e = fit_block(auto_bs(bs, N), N, 128)
+        bs_e = fit_block(auto_bs(bs, Ns), Ns, 128)
         sub_n = subtile_count(bs_e)
         in_dtype = x.dtype
         comps = [a.astype(jnp.float32) for a in (x, y, z, vx, vy, vz)]
+        if src is None:
+            src_comps = comps
+            src_valid = valid
+        else:
+            src_comps = [a.astype(jnp.float32) for a in src]
         # packed per-sub-tile wake|contact mask; rides scalar prefetch (SMEM)
-        mask = subtile_packed_mask(comps[0], comps[1], comps[2], bt_e, bs_e,
-                                   min_dist=min_dist, params=params,
-                                   cone=cone, valid=valid)
+        mask = subtile_packed_mask(
+            comps[0], comps[1], comps[2], bt_e, bs_e, min_dist=min_dist,
+            params=params, cone=cone, valid=valid,
+            src_cols=None if src is None else tuple(src_comps[:3]),
+            src_valid=None if src is None else src_valid)
         cols_t = [a.reshape(N, 1) for a in comps]
-        cols_s = [a.reshape(1, N) for a in comps]
+        cols_s = [a.reshape(1, Ns) for a in src_comps]
         kernel = make_kernel(sub_n, bs_e)
 
         def run(grid, prefetch, s_index):
@@ -316,7 +329,7 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                 interpret=interpret,
             )(prefetch, *cols_t, *cols_s)
 
-        nt, ns = N // bt_e, N // bs_e
+        nt, ns = N // bt_e, Ns // bs_e
         if neighbor_cap is None:
             outs = run((nt, ns), mask, lambda i, j, m: (0, j))
         else:
@@ -326,7 +339,7 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
             if dense_fallback:
                 overflow = lambda: run((nt, ns), mask,
                                        lambda i, j, m: (0, j))
-            else:
+            elif src is None:
                 plain = make_interact_pallas(params, bt=bt, bs=bs,
                                              max_push=max_push,
                                              interpret=interpret, z_sort=True)
@@ -334,6 +347,33 @@ def make_interact_masked(params: DroneParams, bt: int = _BT, bs=_BS,
                 def overflow():
                     mag, dp, dv = plain.cols(*comps)
                     return tuple(o.reshape(N, 1) for o in (mag, *dp, *dv))
+            else:
+                # Rectangular overflow: the fused plain kernel is square-only,
+                # so fall back to the z-sorted rectangular downwash + collide
+                # pair (same outputs; only the f32 pair-summation order
+                # differs — the stated property of every overflow branch).
+                from gym_pybullet_drones_tpu.ops.collide_pallas import (
+                    make_collide_pallas,
+                )
+                from gym_pybullet_drones_tpu.ops.downwash_pallas import (
+                    make_downwash_pallas,
+                )
+
+                plain_dw = make_downwash_pallas(params, bt=bt, bs=bs,
+                                                interpret=interpret,
+                                                z_sort=True)
+                plain_co = make_collide_pallas(params, bt=bt, bs=bs,
+                                               max_push=max_push,
+                                               return_delta=True,
+                                               interpret=interpret,
+                                               z_sort=True)
+
+                def overflow():
+                    mag = plain_dw.cols(*comps[:3],
+                                        src=tuple(src_comps[:3]))
+                    dp, dv = plain_co.cols(*comps, src=tuple(src_comps))
+                    return tuple(o.reshape(N, 1)
+                                 for o in (mag, *dp, *dv))
 
             outs = jax.lax.cond(
                 count_max > cap,

@@ -150,14 +150,14 @@ def _contact_live_from_bounds(tb, sb, min_dist):
     return live
 
 
-def _bounds_pair(x, y, z, bt, bs, src_cols=None, valid=None):
+def _bounds_pair(x, y, z, bt, bs, src_cols=None, valid=None, src_valid=None):
     tb = tile_bounds6(x, y, z, bt, valid=valid)
     if src_cols is None and bt == bs:
         sb = tb
     else:
         xs, ys, zs = (x, y, z) if src_cols is None else src_cols
         sb = tile_bounds6(xs, ys, zs, bs,
-                          valid=None if src_cols is not None else valid)
+                          valid=src_valid if src_cols is not None else valid)
     return tb, sb
 
 
@@ -203,7 +203,8 @@ def subtile_count(bs):
 
 
 def subtile_packed_mask(x, y, z, bt, bs, min_dist=None, params=None,
-                        cone=True, valid=None):
+                        cone=True, valid=None, src_cols=None,
+                        src_valid=None):
     """Flat (nt*ns,) int32 with PER-SUB-TILE live bits (round 4).
 
     The round-3 masks gate whole (bt, bs) tiles, so the culling floor is the
@@ -221,10 +222,15 @@ def subtile_packed_mask(x, y, z, bt, bs, min_dist=None, params=None,
     (tile_bounds6) — all-padding tiles AND all-padding 128-lane slices get
     empty boxes and go dead, which is what makes padded-cell capacity
     headroom nearly free in the binned backend.
+    ``src_cols``/``src_valid`` (round-5 sharded binned path): an optional
+    DIFFERENT source set (xs, ys, zs) with its own padding column — the
+    rectangular form where each shard's local targets read pair sources
+    from the all-gathered global slot arrays (runtime/swarm.py).
     """
     sub = subtile_count(bs)
     sub_w = bs // sub
-    tb, sb = _bounds_pair(x, y, z, bt, sub_w, valid=valid)
+    tb, sb = _bounds_pair(x, y, z, bt, sub_w, src_cols=src_cols,
+                          valid=valid, src_valid=src_valid)
     nt = tb[0].shape[0]
     wake = _wake_live_from_bounds(tb, sb, params, cone)  # (nt, ns*sub)
     bits = jnp.arange(sub, dtype=jnp.int32)

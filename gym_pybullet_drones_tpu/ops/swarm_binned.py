@@ -110,12 +110,26 @@ def binned_geometry(pos, occ_target=256, headroom=1.25, max_cap=2048,
     return float(s), nx, ny, cap
 
 
+def shard_binned_state(mesh, s, axis: str = "env"):
+    """Place a binned slot-state dict onto ``mesh``: slot-axis leaves
+    sharded `P(axis)`, the step counter ``t`` replicated. Multi-process-safe
+    (one jitted identity per sharding — runtime.mesh._put_tree)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from gym_pybullet_drones_tpu.runtime.mesh import _put_tree
+
+    sharded = _put_tree({k: v for k, v in s.items() if k != "t"},
+                        NamedSharding(mesh, PartitionSpec(axis)))
+    sharded["t"] = _put_tree(s["t"], NamedSharding(mesh, PartitionSpec()))
+    return sharded
+
+
 def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
                       collisions: bool = False, cell_size: float = 10.0,
                       nx: int = 8, ny: int = 8, cap: int = 256,
                       resort_every: int = 4, cone: bool = True,
                       neighbor_cap=None, bt=None, bs=None,
-                      interpret: bool = False):
+                      interpret: bool = False, mesh=None, axis: str = "env"):
     """Binned cell-list coupled-swarm loop. Returns ``(init, step, export)``
     with the same contract as `swarm_soa.make_sorted_swarm` (rpm columns in
     ORIGINAL drone order; export scatters back).
@@ -135,6 +149,19 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
     ``neighbor_cap`` live source tiles kept per target row (default: 2x the
     wake ring (2*ceil(10/cell)+1)^2 scaled by cap//bs — overflow falls back
     to the z-sorted dense pass, never drops).
+
+    ``mesh``/``axis`` (round-5, VERDICT r4 #1): shard the SLOT axis of the
+    same loop over a `jax.sharding.Mesh` — each device owns a contiguous
+    x-slab of whole cells (``nx * ny`` must divide by the mesh axis size).
+    Substeps and target-side pair math run shard-local; pair sources are
+    the all-gathered global slot columns through the kernels' rectangular
+    ``src`` entry (masks cull the non-neighbor global tiles exactly as in
+    the square pass, so per-device pair work stays O(N_local * k)). Rebins
+    are global permutations and run outside shard_map under jit. Callers
+    place the init() state with `shard_binned_state` and pass rpm columns
+    replicated. Results are bit-identical to the single-device masked pass
+    at equal (bt, bs) when no per-device neighbor-cap overflow fires (rows
+    keep ascending source order).
     """
     from gym_pybullet_drones_tpu.ops.downwash_pallas import (
         make_downwash_masked,
@@ -151,6 +178,10 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
     bs = cap if bs is None else fit_block(bs, cap, 128)
     if cap % bs != 0:
         raise ValueError(f"bs must divide cap, got bs={bs} cap={cap}")
+    if mesh is not None and ncells % mesh.shape[axis] != 0:
+        raise ValueError(
+            f"cell count {nx}x{ny} must divide over the {mesh.shape[axis]}"
+            f"-device '{axis}' mesh axis (whole-cell slabs per device)")
 
     def vmem_bt(budget_elems):
         # largest cap divisor (8-sublane granule) whose (bt, bs) tile stays
@@ -248,14 +279,11 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
             valid, dw_m.cols(s["px"], s["py"], s["pz"], valid=valid), 0.0)
         return s
 
-    def step(s, rpm_cols):
-        N = rpm_cols[0].shape[0]  # static fleet size
-        s = jax.lax.cond((s["t"] % resort_every) == 0,
-                         lambda x: _rebin(x, N), lambda x: x, s)
-        ids, valid = s["ids"], s["valid"]
-        safe = jnp.clip(ids, 0, N - 1)
-        rpm_sorted = [r[safe] for r in rpm_cols]  # padding rows are frozen
-        cols = {k: s[k] for k in _COLS}
+    def _substeps(cols, valid, rpm_sorted, gather_src):
+        """The substep chain over one rpm period. ``gather_src(cols, valid)``
+        returns (src3, src6, src_valid) pair-source columns — (None, None,
+        None) for the square single-device pass, the all-gathered global
+        slot columns for the sharded rectangular pass."""
         for _ in range(n_substeps):
             (cols["px"], cols["py"], cols["pz"], cols["qx"], cols["qy"],
              cols["qz"], cols["qw"], cols["vx"], cols["vy"], cols["vz"],
@@ -274,10 +302,12 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
             # lanes of live tiles with only per-pair guards, and
             # (0, 0, z_min) passes them). Advisor round-4 finding.
             cols = _freeze(cols, valid)
+            src3, src6, src_valid = gather_src(cols, valid)
             if collisions:
                 mag, dp, dv = ia_m.cols(cols["px"], cols["py"], cols["pz"],
                                         cols["vx"], cols["vy"], cols["vz"],
-                                        valid=valid)
+                                        valid=valid, src=src6,
+                                        src_valid=src_valid)
                 cols["mag"] = mag
                 cols["px"] = cols["px"] + dp[0]
                 cols["py"] = cols["py"] + dp[1]
@@ -287,8 +317,60 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
                 cols["vz"] = cols["vz"] + dv[2]
             else:
                 cols["mag"] = dw_m.cols(cols["px"], cols["py"], cols["pz"],
-                                        valid=valid)
+                                        valid=valid, src=src3,
+                                        src_valid=src_valid)
             cols = _freeze(cols, valid)
+        return cols
+
+    def step(s, rpm_cols):
+        N = rpm_cols[0].shape[0]  # static fleet size
+        s = jax.lax.cond((s["t"] % resort_every) == 0,
+                         lambda x: _rebin(x, N), lambda x: x, s)
+        ids, valid = s["ids"], s["valid"]
+        cols = {k: s[k] for k in _COLS}
+        if mesh is None:
+            safe = jnp.clip(ids, 0, N - 1)
+            rpm_sorted = [r[safe] for r in rpm_cols]  # padding rows frozen
+            cols = _substeps(cols, valid, rpm_sorted,
+                             lambda c, v: (None, None, None))
+        else:
+            # Sharded: each device owns a contiguous slab of whole cells;
+            # substeps and target-side pair math are shard-local, sources
+            # ride ONE all-gather per pair pass (O(N_global) floats over
+            # ICI — the same collective budget as runtime/swarm.py's
+            # rectangular path). The rebin above runs OUTSIDE shard_map as
+            # plain global ops: XLA inserts the gather/scatter collectives
+            # for the argsort permutation every ``resort_every`` steps.
+            from jax import shard_map
+            from jax.sharding import PartitionSpec
+
+            P_ = PartitionSpec
+
+            def local(cols_l, valid_l, ids_l, rpm_g):
+                safe = jnp.clip(ids_l, 0, N - 1)
+                rpm_sorted = [r[safe] for r in rpm_g]
+
+                def gather(cc, vv):
+                    g = lambda a: jax.lax.all_gather(a, axis, axis=0,
+                                                     tiled=True)
+                    gxyz = (g(cc["px"]), g(cc["py"]), g(cc["pz"]))
+                    gvalid = g(vv)
+                    if collisions:
+                        return None, gxyz + (g(cc["vx"]), g(cc["vy"]),
+                                             g(cc["vz"])), gvalid
+                    return gxyz, None, gvalid
+
+                return _substeps(cols_l, valid_l, rpm_sorted, gather)
+
+            pcols = {k: P_(axis) for k in _COLS}
+            cols = shard_map(
+                local, mesh=mesh,
+                in_specs=(pcols, P_(axis), P_(axis), [P_()] * 4),
+                out_specs=pcols,
+                # pallas_call outputs carry no varying-mesh-axes annotation
+                # (same note as runtime/swarm.make_sharded_swarm_physics)
+                check_vma=False,
+            )(cols, valid, ids, list(rpm_cols))
         out = dict(cols)
         out["ids"], out["valid"], out["t"] = ids, valid, s["t"] + 1
         return out

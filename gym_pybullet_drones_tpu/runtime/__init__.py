@@ -13,3 +13,8 @@ from gym_pybullet_drones_tpu.runtime.profiling import (
     measure_throughput,
     trace,
 )
+from gym_pybullet_drones_tpu.runtime.swarm import (
+    make_big_swarm_physics,
+    make_sharded_swarm_physics,
+    make_swarm_physics,
+)

@@ -130,6 +130,127 @@ def shard_swarm_kin(mesh: Mesh, kin: KinState, axis: str = "env") -> KinState:
     return _put_tree(kin, NamedSharding(mesh, P(axis)))
 
 
+def select_swarm_backend(pos, mesh: Mesh = None,
+                         min_n: int = 16384, min_pitch: float = 2.0) -> str:
+    """Geometry-based swarm-backend choice (the ``backend="auto"`` rule of
+    `make_swarm_physics`): ``"binned"`` for big spread fleets (N >= min_n
+    and mean lattice pitch >= min_pitch — the measured crossover of
+    docs/PERF.md round-4b, where the 10 m wake cutoff of BaseAviary.py:801
+    makes k << N) or whenever the drone axis shards over a mesh;
+    ``"soa"`` otherwise."""
+    import numpy as np
+
+    if mesh is not None:
+        return "binned"
+    if pos is None:
+        return "soa"
+    pos = np.asarray(pos.pos if hasattr(pos, "pos") else pos)
+    if pos.shape[0] < min_n:
+        return "soa"
+    ext = np.maximum(pos.max(0) - pos.min(0), 1e-6)
+    pitch = float(np.prod(ext) ** (1 / 3) / pos.shape[0] ** (1 / 3))
+    return "binned" if pitch >= min_pitch else "soa"
+
+
+def make_swarm_physics(params: DroneParams, dt, n_substeps: int,
+                       collisions: bool = False, init_pos=None,
+                       backend: str = "auto", mesh: Mesh = None,
+                       axis: str = "env", interpret: bool = False,
+                       **backend_opts):
+    """First-class coupled-swarm factory (VERDICT r4 #1): one entry point,
+    uniform ``(init, step, export)`` contract, geometry-based backend
+    selection — no environment variables.
+
+      * ``init(kin) -> s`` — backend state from a KinState;
+      * ``step(s, rpm_cols) -> s`` — one control period (PYB_DW physics,
+        optional drone-drone contact), rpm columns in ORIGINAL drone order;
+      * ``export(s, template) -> KinState`` — back to original order.
+
+    ``backend``:
+      * ``"soa"`` — dense SoA pair passes with z-sorted tile culling
+        (ops/swarm_soa.make_swarm_step_soa). Best at <= ~16k drones or
+        dense packs where most pairs genuinely interact.
+      * ``"binned"`` — padded xy-cell cell-list layout, O(N*k) pair work
+        (ops/swarm_binned). Best for spread fleets (pitch >= ~2 m) at
+        scale; the only backend that composes with ``mesh`` (slot axis
+        sharded, whole-cell slabs per device).
+      * ``"auto"`` — ``binned`` when the fleet is big AND spread
+        (N >= 16384 and mean lattice pitch >= 2 m, the measured crossover
+        in docs/PERF.md round-4b; the 10 m wake cutoff of
+        BaseAviary.py:801 is what makes k << N there), or whenever a
+        ``mesh`` is given; ``soa`` otherwise. Requires ``init_pos``
+        (an (N, 3) array or the KinState about to be passed to init) to
+        judge the geometry — without it, auto picks ``soa`` (mesh: the
+        10 m default binning).
+
+    ``backend_opts`` pass through to the backend maker (cell_size/nx/ny/
+    cap/resort_every/bt/bs/neighbor_cap for binned; order/resort_every/
+    neighbor_cap/bt/bs for the persistently-sorted soa variant via
+    ``sorted=True``).
+    """
+    import numpy as np
+
+    from gym_pybullet_drones_tpu.ops.swarm_binned import (
+        binned_geometry,
+        make_binned_swarm,
+    )
+    from gym_pybullet_drones_tpu.ops.swarm_soa import (
+        make_sorted_swarm,
+        make_swarm_step_soa,
+        swarm_soa_from_kin,
+        swarm_soa_to_kin,
+    )
+
+    pos = init_pos
+    if pos is not None and hasattr(pos, "pos"):
+        pos = pos.pos
+    pos = None if pos is None else np.asarray(pos)
+
+    if backend == "auto":
+        backend = select_swarm_backend(pos, mesh=mesh)
+
+    if backend == "binned":
+        geo = {k: backend_opts.pop(k) for k in
+               ("cell_size", "nx", "ny", "cap") if k in backend_opts}
+        if len(geo) < 4:
+            if pos is None:
+                raise ValueError(
+                    "binned backend needs init_pos (or explicit "
+                    "cell_size/nx/ny/cap) to size the cell grid")
+            cell, nx, ny, cap = binned_geometry(
+                pos, **{k: backend_opts.pop(k) for k in
+                        ("occ_target", "headroom", "max_cap", "min_cell",
+                         "cell") if k in backend_opts})
+            auto = dict(cell_size=cell, nx=nx, ny=ny, cap=cap)
+            auto.update(geo)  # explicit values win over the auto geometry
+            geo = auto
+            if mesh is not None:
+                while (geo["nx"] * geo["ny"]) % mesh.shape[axis] != 0:
+                    geo["ny"] += 1  # pad to whole-cell slabs per device
+        return make_binned_swarm(params, dt, n_substeps,
+                                 collisions=collisions, interpret=interpret,
+                                 mesh=mesh, axis=axis, **geo, **backend_opts)
+
+    if backend == "soa":
+        if mesh is not None:
+            raise ValueError(
+                "the dense soa backend does not shard the drone axis; use "
+                "backend='binned' (or make_sharded_swarm_physics for the "
+                "AoS rectangular path)")
+        if backend_opts.pop("sorted", False):
+            return make_sorted_swarm(params, dt, n_substeps,
+                                     collisions=collisions,
+                                     interpret=interpret, **backend_opts)
+        step = make_swarm_step_soa(params, dt, n_substeps,
+                                   collisions=collisions,
+                                   interpret=interpret, **backend_opts)
+        return (swarm_soa_from_kin,
+                lambda s, rpm_cols: step(s, rpm_cols),
+                swarm_soa_to_kin)
+
+    raise ValueError(f"unknown swarm backend {backend!r}")
+
+
 def make_big_swarm_physics(params: DroneParams, dt, n_substeps: int,
                            physics: Physics = Physics.PYB_DW,
                            collisions: bool = False,

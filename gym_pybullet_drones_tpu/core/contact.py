@@ -48,10 +48,15 @@ Documented approximations vs Bullet (bounds in PYB_DERIVATION.md §5):
 Everything is shaped for XLA: contact sets are static-size and masked, the
 Gauss-Seidel sweeps are ``lax.scan`` chains over the contact axis (sequential
 within a body — that is the algorithm), and all drones advance in parallel
-wherever the physics decouples them (plane and obstacle rows). Pair rows use
-the sequential scan up to ``PAIR_GS_MAX_N`` drones and a masked Jacobi
-fallback beyond (swarm scale), trading Bullet's strict sweep order for
-throughput — deviation bounded by the same argument as core/collisions.py.
+wherever the physics decouples them (plane and obstacle rows). Pair rows run
+the exact Bullet-order sequential scan up to ``PAIR_GS_MAX_N`` drones;
+bigger local fleets (round-5, VERDICT r4 #4) use NEIGHBOR-COMPACTED rows —
+each drone's ``NBR_K`` nearest candidates with the full normal + friction +
+angular row physics, swept as K slot-colored sub-passes per iteration
+(Gauss-Seidel across slots; isolated contacting pairs solve identically to
+the exact order, pinned in tests/test_contact.py) — up to ``NBR_MAX_N``.
+Beyond that, and for cross-shard partners, the normal-only masked Jacobi
+pass remains (deviation bounded by the core/collisions.py argument).
 """
 
 import numpy as np
@@ -70,7 +75,10 @@ BREAKING = 0.02      # gContactBreakingThreshold: contact generation distance
 MU_PLANE = 0.5       # 1.0 (plane.urdf) x 0.5 (drone URDF default)
 MU_PAIR = 0.25       # 0.5 x 0.5
 RIM_SAMPLES = 8      # cylinder rim sample points per rim (x2 rims)
-PAIR_GS_MAX_N = 16   # fleets above this solve pair rows Jacobi-style
+PAIR_GS_MAX_N = 16   # fleets above this use the neighbor-compacted rows
+NBR_K = 8            # candidate partners per drone in neighbor pair mode
+NBR_MAX_N = 16384    # above this the dense candidate top-k is off-budget
+                     # (N^2 distance matrix) -> plain Jacobi remains
 
 
 def _world_inv_inertia(R, J_inv):
@@ -218,8 +226,24 @@ def solve_contacts(
         return vel, ang_v, lam_t1, lam_t2
 
     # ---- drone-drone pair rows (collision spheres) ------------------------
+    # Three regimes (round-5, VERDICT r4 #4):
+    #   * n <= PAIR_GS_MAX_N: exact Bullet-order sequential sweep (triu scan);
+    #   * PAIR_GS_MAX_N < n <= NBR_MAX_N, unbatched, local: neighbor-
+    #     compacted rows — each drone's NBR_K nearest candidates (contact
+    #     reach 2r + breaking = 0.14 m << any sane spacing, so K bounds the
+    #     simultaneous-contact count; kissing adversaries need K raised),
+    #     full normal+friction+angular physics, swept as K slot-colored
+    #     sub-passes per iteration: sub-pass k solves every drone's k-th row
+    #     in parallel reading the freshest velocities from sub-passes < k —
+    #     Gauss-Seidel across slots, Jacobi only within a slot's rare
+    #     owner collisions (scatter-adds accumulate);
+    #   * beyond / cross-shard (other_pos) / env-batched: the normal-only
+    #     Jacobi projection pass (partners' own velocities are corrected on
+    #     their home shard, so sequential sweeps cannot apply).
     use_pairs = drone_drone and (n_drones > 1 or other_pos is not None)
     pair_jacobi = (n_drones > PAIR_GS_MAX_N) or (other_pos is not None)
+    pair_nbr = (pair_jacobi and other_pos is None and pos.ndim == 2
+                and n_drones <= NBR_MAX_N)
     radius = params.collision_r
     if use_pairs and not pair_jacobi:
         iu = np.triu_indices(n_drones, k=1)
@@ -318,6 +342,91 @@ def solve_contacts(
             return vel, ang_v, lam_t1, lam_t2
 
         n_pairs = len(iu[0])
+    elif use_pairs and pair_nbr:
+        # Neighbor-compacted pair rows: K nearest candidates per drone from
+        # the dense distance matrix (O(N^2) build, O(N*K) rows/solve). Each
+        # contacting pair appears once, owned by its smaller index (the
+        # partner is in the owner's K-nearest by symmetry of distance).
+        K = min(NBR_K, n_drones - 1)
+        d2_full = jnp.sum(
+            (pos[:, None, :] - pos[None, :, :]) ** 2, -1)
+        d2_full = jnp.where(jnp.eye(n_drones, dtype=bool),
+                            jnp.asarray(jnp.inf, dtype), d2_full)
+        neg_d2, nbr_idx = lax.top_k(-d2_full, K)  # (N, K) ascending distance
+        nbr_dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+        i_col = jnp.arange(n_drones)[:, None]
+        d_nbr = nbr_dist - 2.0 * radius
+        own = (nbr_idx > i_col) & (d_nbr < breaking)
+        act_nbr = own.astype(dtype)
+        tgt_nbr = _target_vn(d_nbr, dt, erp, slop)
+
+        pos_j = pos[nbr_idx]                       # (N, K, 3)
+        delta_n = pos[:, None, :] - pos_j          # ci - cj
+        n_nbr = delta_n / jnp.maximum(nbr_dist, 1e-9)[..., None]  # toward i
+        r_i_n = -0.5 * delta_n                     # midpoint - ci
+        r_j_n = 0.5 * delta_n                      # midpoint - cj
+        t1_n, t2_n = _orthonormal_tangents(n_nbr)
+        Ii_n = I_inv_w[:, None, :, :]              # (N, 1, 3, 3)
+        Ij_n = I_inv_w[nbr_idx]                    # (N, K, 3, 3)
+
+        def _jac_n(Iw, r, axis):
+            return jnp.einsum("...ij,...j->...i", Iw, jnp.cross(r, axis))
+
+        def _kinv_n(Ji_, Jj_, axis):
+            k = (2.0 * inv_m
+                 + jnp.einsum("...i,...i->...", jnp.cross(r_i_n, axis), Ji_)
+                 + jnp.einsum("...i,...i->...", jnp.cross(r_j_n, axis), Jj_))
+            return 1.0 / k
+
+        Jn_in = _jac_n(Ii_n, r_i_n, n_nbr); Jn_jn = _jac_n(Ij_n, r_j_n, n_nbr)
+        J1_in = _jac_n(Ii_n, r_i_n, t1_n); J1_jn = _jac_n(Ij_n, r_j_n, t1_n)
+        J2_in = _jac_n(Ii_n, r_i_n, t2_n); J2_jn = _jac_n(Ij_n, r_j_n, t2_n)
+        kn_inv_n = _kinv_n(Jn_in, Jn_jn, n_nbr)
+        k1_inv_n = _kinv_n(J1_in, J1_jn, t1_n)
+        k2_inv_n = _kinv_n(J2_in, J2_jn, t2_n)
+
+        def _u_rel_n(vel, ang_v, k):
+            jk = nbr_idx[:, k]
+            u_i = vel + jnp.cross(ang_v, r_i_n[:, k])
+            u_j = vel[jk] + jnp.cross(ang_v[jk], r_j_n[:, k])
+            return u_i - u_j, jk
+
+        def nbr_normal_sweep(vel, ang_v, lam):
+            for k in range(K):
+                u, jk = _u_rel_n(vel, ang_v, k)
+                un = jnp.sum(u * n_nbr[:, k], -1)
+                dlam = (tgt_nbr[:, k] - un) * kn_inv_n[:, k] * act_nbr[:, k]
+                new = jnp.maximum(lam[:, k] + dlam, 0.0)
+                a = new - lam[:, k]
+                imp = a[:, None] * n_nbr[:, k] * inv_m
+                vel = (vel + imp).at[jk].add(-imp)
+                ang_v = (ang_v + a[:, None] * Jn_in[:, k]).at[jk].add(
+                    -a[:, None] * Jn_jn[:, k])
+                lam = lam.at[:, k].set(new)
+            return vel, ang_v, lam
+
+        def nbr_friction_sweep(vel, ang_v, lam_n, lam_t1, lam_t2):
+            for k in range(K):
+                limit = mu_pair * lam_n[:, k]
+                for t, Jti, Jtj, kinv, lam_t in (
+                        (t1_n, J1_in, J1_jn, k1_inv_n, lam_t1),
+                        (t2_n, J2_in, J2_jn, k2_inv_n, lam_t2)):
+                    u, jk = _u_rel_n(vel, ang_v, k)
+                    ut = jnp.sum(u * t[:, k], -1)
+                    dlam = -ut * kinv[:, k] * act_nbr[:, k]
+                    new = jnp.clip(lam_t[:, k] + dlam, -limit, limit)
+                    a = new - lam_t[:, k]
+                    imp = a[:, None] * t[:, k] * inv_m
+                    vel = (vel + imp).at[jk].add(-imp)
+                    ang_v = (ang_v + a[:, None] * Jti[:, k]).at[jk].add(
+                        -a[:, None] * Jtj[:, k])
+                    if lam_t is lam_t1:
+                        lam_t1 = lam_t1.at[:, k].set(new)
+                    else:
+                        lam_t2 = lam_t2.at[:, k].set(new)
+            return vel, ang_v, lam_t1, lam_t2
+
+        n_pairs = K
     elif use_pairs:
         # Jacobi fallback (swarm scale / cross-shard): all pair rows computed
         # from the same iterate and applied summed — Bullet's strict sweep
@@ -448,6 +557,11 @@ def solve_contacts(
         lam0.update(p_n=jnp.zeros(pshape, dtype),
                     p_t1=jnp.zeros(pshape, dtype),
                     p_t2=jnp.zeros(pshape, dtype))
+    elif use_pairs and pair_nbr:
+        nshape = batch + (n_pairs,)  # (N, K)
+        lam0.update(p_n=jnp.zeros(nshape, dtype),
+                    p_t1=jnp.zeros(nshape, dtype),
+                    p_t2=jnp.zeros(nshape, dtype))
     elif use_pairs:
         lam0.update(p_n=jnp.zeros(batch + (n_pairs,), dtype))
     if obstacles is not None:
@@ -462,6 +576,8 @@ def solve_contacts(
         vel, ang_v, lam["pl_n"] = plane_normal_sweep(vel, ang_v, lam["pl_n"])
         if use_pairs and not pair_jacobi:
             vel, ang_v, lam["p_n"] = pair_normal_sweep(vel, ang_v, lam["p_n"])
+        elif use_pairs and pair_nbr:
+            vel, ang_v, lam["p_n"] = nbr_normal_sweep(vel, ang_v, lam["p_n"])
         elif use_pairs:
             vel, ang_v, lam["p_n"] = pair_jacobi_pass(vel, ang_v, lam["p_n"])
         if obstacles is not None:
@@ -471,6 +587,9 @@ def solve_contacts(
             vel, ang_v, lam["pl_n"], lam["pl_t1"], lam["pl_t2"])
         if use_pairs and not pair_jacobi:
             vel, ang_v, lam["p_t1"], lam["p_t2"] = pair_friction_sweep(
+                vel, ang_v, lam["p_n"], lam["p_t1"], lam["p_t2"])
+        elif use_pairs and pair_nbr:
+            vel, ang_v, lam["p_t1"], lam["p_t2"] = nbr_friction_sweep(
                 vel, ang_v, lam["p_n"], lam["p_t1"], lam["p_t2"])
         if obstacles is not None:
             vel, ang_v, lam["o_t1"], lam["o_t2"] = obstacle_friction_sweep(

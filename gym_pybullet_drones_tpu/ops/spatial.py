@@ -194,12 +194,18 @@ def packed_live_mask(x, y, z, bt, bs, min_dist, params=None, cone=True,
 
 def subtile_count(bs):
     """Sub-tile slices per source block for the packed sub-tile masks: the
-    source block divides into 128-lane slices (the hardware lane granule),
-    capped at 8 so wake and contact bit fields fit one int32 byte each.
+    source block divides into 128-lane-ALIGNED slices (each slice width a
+    multiple of the hardware lane granule — Mosaic faults on unaligned
+    lane-dimension slices, seen at cap=1280 where 1280/8 = 160), capped at
+    8 so wake and contact bit fields fit one int32 byte each.
     bs < 128 (tiny test fleets) -> one slice."""
     if bs % 128 != 0:
         return 1
-    return int(min(8, bs // 128))
+    lanes = bs // 128
+    for sub in range(int(min(8, lanes)), 0, -1):
+        if lanes % sub == 0:
+            return sub
+    return 1
 
 
 def subtile_packed_mask(x, y, z, bt, bs, min_dist=None, params=None,

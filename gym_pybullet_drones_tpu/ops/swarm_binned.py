@@ -194,6 +194,20 @@ def make_binned_swarm(params: DroneParams, dt, n_substeps: int,
     if neighbor_cap is None:
         ring = 2 * int(math.ceil(10.0 / cell_size)) + 1
         neighbor_cap = min(nslots // bs, 2 * ring * ring * (cap // bs))
+        # The scalar-prefetch row table (nt * neighbor_cap int32 words) must
+        # fit the v5e's ~1 MB SMEM; at megadrone layouts (2.2M slots at 1M
+        # drones) the 2x-headroom default busts it and the kernel faults.
+        # Clamp toward the EXACT ring bound: cell-aligned tiles can have at
+        # most ring^2 live source cells (boxes 2 cells apart sit exactly at
+        # the 10 m cutoff, which the masks exclude), so ring^2 * (cap//bs)
+        # rows suffice whenever the layout is cell-aligned; the dense-packed
+        # overflow layout exceeds it and correctly takes the z-sorted
+        # pass-level fallback.
+        nt_max = nslots // min(bt_dw, bt_ia)
+        smem_rows = max((800_000 // 4) // max(nt_max, 1), 1)
+        if neighbor_cap > smem_rows:
+            neighbor_cap = max(ring * ring * (cap // bs),
+                               min(smem_rows, neighbor_cap))
     c = physics_consts(params)
     dw_m = make_downwash_masked(params, bt=bt_dw, bs=bs, interpret=interpret,
                                 cone=cone, neighbor_cap=neighbor_cap,

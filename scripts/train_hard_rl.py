@@ -48,6 +48,15 @@ def main():
                                      "one_d_rpm"])
     ap.add_argument("--multiagent", action="store_true",
                     help="MultiHoverAviary (2 drones); threshold 920")
+    ap.add_argument("--contact", action="store_true",
+                    help="train the way the reference trains (round-5, "
+                         "VERDICT r4 #2): collisions=True with the "
+                         "Bullet-faithful impulse solver — landmark "
+                         "obstacles become real collision bodies and "
+                         "multiagent fleets get drone-drone contact "
+                         "(reference BaseAviary.py:370 + "
+                         "BaseRLAviary.py:99-128). Evals run contact-on "
+                         "too; checkpoints are suffixed _contact")
     ap.add_argument("--steps", type=float, default=None)
     ap.add_argument("--num_envs", type=int, default=None)
     ap.add_argument("--seed", type=int, default=0)
@@ -96,6 +105,8 @@ def main():
             action_type=act,
             obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
             action_buffer_size=15, episode_len_sec=8.0,
+            collisions=args.contact,
+            contact_mode="impulse" if args.contact else "clamp",
         )
         threshold = 920.0 if args.multiagent else 467.0  # learn.py:82
         total = int(args.steps or 3e7)
@@ -111,6 +122,8 @@ def main():
             obs_type=ObservationType.RGB, pyb_freq=240, ctrl_freq=30,
             action_buffer_size=15, episode_len_sec=8.0,
             frame_stack=args.frame_stack,
+            collisions=args.contact,
+            contact_mode="impulse" if args.contact else "clamp",
         )
         threshold = 949.5 if args.multiagent else 474.0
         total = int(args.steps or 3e6)
@@ -163,7 +176,8 @@ def main():
             save_checkpoint,
         )
 
-        ck_dir = os.path.join(args.out, f"resume_{args.case}")
+        case_tag = args.case + ("_contact" if args.contact else "")
+        ck_dir = os.path.join(args.out, f"resume_{case_tag}")
         if os.path.isdir(ck_dir) and latest_step(ck_dir) > 0:
             start_u = latest_step(ck_dir)
             runner = restore_checkpoint(ck_dir, runner, step=start_u)
@@ -195,8 +209,9 @@ def main():
                   f"log_std {ls:.2f}", flush=True)
             if ret > best:
                 best, best_params = ret, jax.device_get(runner.params)
+                tag = args.case + ("_contact" if args.contact else "")
                 with open(os.path.join(
-                        args.out, f"best_{args.case}.msgpack"), "wb") as f:
+                        args.out, f"best_{tag}.msgpack"), "wb") as f:
                     f.write(serialization.to_bytes(best_params))
             if args.resume:
                 save_checkpoint(ck_dir, runner, step=u + 1)

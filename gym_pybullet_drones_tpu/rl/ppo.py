@@ -527,12 +527,21 @@ def _eval_run_fn(env_cfg: AviaryConfig, aux, num_steps: int, num_envs: int,
     @jax.jit
     def run(params, env_state, obs, rng):
         keys = jax.random.split(rng, num_steps)
-        (_, _), (rewards, dones) = jax.lax.scan(
+        ((env_state, obs), (rewards, dones)) = jax.lax.scan(
             partial(body, params), (env_state, obs), keys)
-        return rewards, dones
+        return env_state, obs, rewards, dones
 
     cache[key] = run
     return run
+
+
+# Eval scans longer than this run as carried-state chunks of one compiled
+# program. Measured on the v5e (round 5): a single-scan impulse-contact
+# eval FAULTS the TPU worker between 1040 and 2080 steps (the deeply
+# nested solver program — 8 substeps x fori(10) Gauss-Seidel x inner
+# lax.scans — under a long outer scan; plain-clamp evals of any length are
+# fine). Chunking with the (env_state, obs) carry is bit-identical math.
+EVAL_SCAN_CHUNK = 520
 
 
 def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
@@ -544,9 +553,18 @@ def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
     env_state = batch_reset(env_cfg, aux["params_env"], num_envs)
     obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
     rng = jax.random.key(0) if rng is None else rng
-    run = _eval_run_fn(env_cfg, aux, num_steps, num_envs, deterministic)
-    rewards, dones = run(params, env_state, obs, rng)
-    mean_ret, count = _episode_stats(rewards, dones)
+    n_chunks = max(1, -(-num_steps // EVAL_SCAN_CHUNK))
+    while num_steps % n_chunks:
+        n_chunks += 1
+    chunk = num_steps // n_chunks
+    run = _eval_run_fn(env_cfg, aux, chunk, num_envs, deterministic)
+    rew_parts, done_parts = [], []
+    for ck in jax.random.split(rng, n_chunks):
+        env_state, obs, rewards, dones = run(params, env_state, obs, ck)
+        rew_parts.append(rewards)
+        done_parts.append(dones)
+    mean_ret, count = _episode_stats(jnp.concatenate(rew_parts),
+                                     jnp.concatenate(done_parts))
     return float(mean_ret), int(count)
 
 

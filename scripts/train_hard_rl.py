@@ -176,7 +176,8 @@ def main():
             save_checkpoint,
         )
 
-        case_tag = args.case + ("_contact" if args.contact else "")
+        case_tag = (args.case + ("_ma" if args.multiagent else "")
+                    + ("_contact" if args.contact else ""))
         ck_dir = os.path.join(args.out, f"resume_{case_tag}")
         if os.path.isdir(ck_dir) and latest_step(ck_dir) > 0:
             start_u = latest_step(ck_dir)
@@ -209,7 +210,8 @@ def main():
                   f"log_std {ls:.2f}", flush=True)
             if ret > best:
                 best, best_params = ret, jax.device_get(runner.params)
-                tag = args.case + ("_contact" if args.contact else "")
+                tag = (args.case + ("_ma" if args.multiagent else "")
+                       + ("_contact" if args.contact else ""))
                 with open(os.path.join(
                         args.out, f"best_{tag}.msgpack"), "wb") as f:
                     f.write(serialization.to_bytes(best_params))

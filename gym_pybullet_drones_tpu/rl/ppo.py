@@ -554,17 +554,17 @@ def evaluate_policy(env_cfg: AviaryConfig, aux, params, num_steps: int,
     obs = jax.vmap(lambda s: envbase.compute_obs(env_cfg, s))(env_state)
     rng = jax.random.key(0) if rng is None else rng
     n_chunks = max(1, -(-num_steps // EVAL_SCAN_CHUNK))
-    while num_steps % n_chunks:
-        n_chunks += 1
-    chunk = num_steps // n_chunks
+    chunk = -(-num_steps // n_chunks)  # equal chunks, ceil: may overshoot
     run = _eval_run_fn(env_cfg, aux, chunk, num_envs, deterministic)
     rew_parts, done_parts = [], []
     for ck in jax.random.split(rng, n_chunks):
         env_state, obs, rewards, dones = run(params, env_state, obs, ck)
         rew_parts.append(rewards)
         done_parts.append(dones)
-    mean_ret, count = _episode_stats(jnp.concatenate(rew_parts),
-                                     jnp.concatenate(done_parts))
+    # trim the ceil overshoot so exactly num_steps steps enter the stats
+    mean_ret, count = _episode_stats(
+        jnp.concatenate(rew_parts)[:num_steps],
+        jnp.concatenate(done_parts)[:num_steps])
     return float(mean_ret), int(count)
 
 

@@ -23,7 +23,6 @@ Each prints a JSON line; run on the TPU chip:
 """
 
 import json
-import os
 import sys
 import time
 
@@ -79,8 +78,6 @@ def main():
         return velocity_step_soa(consts, ctrl_dt, pyb_dt, n_sub, sl,
                                  s, ax, ay, az, amag)
 
-    results = {}
-
     if which in ("scripted", "all"):
         chunk = 102400
 
@@ -94,7 +91,6 @@ def main():
             return s
 
         rate = _time(run, s0) * E * chunk
-        results["scripted"] = rate
         print(json.dumps({"metric": "env_steps_per_s_scripted_actions",
                           "value": rate, "unit": "env-steps/s",
                           "chunk": chunk}), flush=True)
@@ -113,7 +109,6 @@ def main():
             return s
 
         rate = _time(run, s0, plan) * E * chunk
-        results["staged"] = rate
         print(json.dumps({"metric": "env_steps_per_s_staged_actions",
                           "value": rate, "unit": "env-steps/s",
                           "chunk": chunk}), flush=True)
@@ -150,7 +145,6 @@ def main():
             return s
 
         rate = _time(run, s0) * E * chunk
-        results["policy"] = rate
         print(json.dumps({"metric": "env_steps_per_s_policy_actions",
                           "value": rate, "unit": "env-steps/s",
                           "chunk": chunk}), flush=True)

@@ -42,7 +42,15 @@ def main():
         jnp.asarray([[0.0, 0.0, 0.0, 1.0]], jnp.float32), (n, 1)))
     rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
 
-    backend = os.environ.get("SWARM_BACKEND", "soa")
+    # Default: the factory's geometry-based choice (runtime.swarm.
+    # select_swarm_backend — binned for big spread fleets, soa otherwise);
+    # SWARM_BACKEND pins a specific backend for sweeps.
+    backend = os.environ.get("SWARM_BACKEND", "")
+    if not backend:
+        from gym_pybullet_drones_tpu.runtime.swarm import select_swarm_backend
+
+        backend = select_swarm_backend(np.asarray(pos))
+        print(f"auto backend: {backend}", flush=True)
     rpm_cols = [rpm[:, m] for m in range(4)]
 
     for collisions in (False, True):

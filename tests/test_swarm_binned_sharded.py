@@ -110,9 +110,13 @@ def test_sharded_binned_matches_single_device():
     while (nx * ny) % mesh.size != 0:
         ny += 1
 
-    for collisions in (False, True):
+    # (collisions, forced neighbor_cap): the None rows run the compacted
+    # grid; the cap-1 row FORCES the per-device live-tile overflow so the
+    # rectangular z-sorted fallback branch is what executes under shard_map
+    for collisions, nbr_cap in ((False, None), (True, None), (True, 1)):
         kw = dict(cell_size=cell, nx=nx, ny=ny, cap=cap, resort_every=2,
-                  collisions=collisions, interpret=True)
+                  collisions=collisions, interpret=True,
+                  neighbor_cap=nbr_cap)
         init, sstep, export = make_binned_swarm(params, 1 / 240, 5, **kw)
         s = jax.jit(init)(kin)
         run1 = jax.jit(lambda s, r: jax.lax.scan(

@@ -174,15 +174,17 @@ def test_swarm_physics_factory():
     rpm = jnp.full((256, 4), float(params.hover_rpm), jnp.float32)
     rpm_cols = [rpm[:, m] for m in range(4)]
     outs = {}
-    for backend in ("soa", "binned"):
+    for backend, kw in (("soa", {}), ("binned", {}),
+                        ("soa", dict(sorted=True, resort_every=2))):
         init, step, export = make_swarm_physics(
             params, 1 / 240, 5, collisions=True, init_pos=kin,
-            backend=backend, interpret=True)
+            backend=backend, interpret=True, **kw)
         s = jax.jit(init)(kin)
         for _ in range(2):
             s = jax.jit(step)(s, rpm_cols)
-        outs[backend] = export(s, kin)
-    np.testing.assert_allclose(np.asarray(outs["soa"].pos),
-                               np.asarray(outs["binned"].pos), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(outs["soa"].vel),
-                               np.asarray(outs["binned"].vel), atol=1e-3)
+        outs["sorted" if kw else backend] = export(s, kin)
+    for other in ("binned", "sorted"):
+        np.testing.assert_allclose(np.asarray(outs["soa"].pos),
+                                   np.asarray(outs[other].pos), atol=1e-4)
+        np.testing.assert_allclose(np.asarray(outs["soa"].vel),
+                                   np.asarray(outs[other].vel), atol=1e-3)

@@ -54,9 +54,14 @@ bigger local fleets (round-5, VERDICT r4 #4) use NEIGHBOR-COMPACTED rows —
 each drone's ``NBR_K`` nearest candidates with the full normal + friction +
 angular row physics, swept as K slot-colored sub-passes per iteration
 (Gauss-Seidel across slots; isolated contacting pairs solve identically to
-the exact order, pinned in tests/test_contact.py) — up to ``NBR_MAX_N``.
-Beyond that, and for cross-shard partners, the normal-only masked Jacobi
-pass remains (deviation bounded by the core/collisions.py argument).
+the exact order, pinned in tests/test_contact.py). Candidates come from the
+dense N^2 top-k up to ``NBR_MAX_N``; above it ``build_pair_candidates_binned``
+builds the SAME candidate rows from a spatial hash grid in O(N*k) — every
+in-band partner lands in the 27-cell neighborhood by construction (cell edge
+>= selection band), so the solve is bit-identical to the dense builder's
+whenever no hash bucket overflows (pinned in tests/test_contact.py). Only
+cross-shard partners and env-batched fleets still take the normal-only
+masked Jacobi pass (deviation bounded by the core/collisions.py argument).
 """
 
 import numpy as np
@@ -78,7 +83,8 @@ RIM_SAMPLES = 8      # cylinder rim sample points per rim (x2 rims)
 PAIR_GS_MAX_N = 16   # fleets above this use the neighbor-compacted rows
 NBR_K = 8            # candidate partners per drone in neighbor pair mode
 NBR_MAX_N = 16384    # above this the dense candidate top-k is off-budget
-                     # (N^2 distance matrix) -> plain Jacobi remains
+                     # (N^2 distance matrix) -> the O(N*k) hash-grid
+                     # builder (build_pair_candidates_binned) takes over
 
 
 def _world_inv_inertia(R, J_inv):
@@ -132,6 +138,76 @@ def build_pair_candidates(pos, radius, k=NBR_K, margin=0.05,
     neg_d2, idx = lax.top_k(-d2, k)
     dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
     band = 2.0 * radius + breaking + margin
+    return idx, dist < band
+
+
+def build_pair_candidates_binned(pos, radius, k=NBR_K, margin=0.05,
+                                 breaking=BREAKING, cap=16, table_mult=2):
+    """O(N*k) replacement for :func:`build_pair_candidates` at swarm scale.
+
+    Same contract — per-drone candidate partners ``(idx (N, K) int32,
+    in_band (N, K) bool)`` in ascending build-time distance — built from a
+    spatial hash grid instead of the dense N^2 distance matrix (which costs
+    17 GB at 65k drones). Cell edge equals the selection band
+    (2r + breaking + margin), so every in-band partner is inside the 27-cell
+    neighborhood by construction; candidates beyond the band may differ from
+    the dense builder's, but those rows are inert in the solver (``act`` and
+    the friction-cone limit are both zero), so the solve is bit-identical
+    whenever caps hold (tests/test_contact.py pins this at 2048 drones).
+
+    Capacity model: each of the ``table_mult*N`` (pow2) hash buckets holds
+    ``cap`` drones; a bucket overflows only when >cap drones occupy one
+    band-sized (~0.19 m for CF2X) cell or distinct cells collide under the
+    hash — overflowed drones silently stop being *found* as partners (their
+    own rows still solve). cap=16 covers ~2x the densest physical sphere
+    packing of CF2X collision radii in one cell.
+
+    Mirrors Bullet's broadphase role (btDbvtBroadphase culls the pair set
+    before the narrowphase/solver at BaseAviary.py:370); persistence across
+    the control period follows build_pair_candidates' margin argument.
+    """
+    n = pos.shape[0]
+    k = min(k, n - 1)
+    if k <= 0:
+        return (jnp.zeros((n, 0), jnp.int32), jnp.zeros((n, 0), bool))
+    band = 2.0 * radius + breaking + margin
+    cells = jnp.floor(pos / band).astype(jnp.int32)            # (N, 3)
+    n_buckets = max(64, 1 << int(np.ceil(np.log2(max(table_mult * n, 2)))))
+
+    def _hash(c):
+        h = (c[..., 0] * np.int32(73856093)
+             ^ c[..., 1] * np.int32(19349663)
+             ^ c[..., 2] * np.int32(83492791))
+        return h & np.int32(n_buckets - 1)
+
+    # Build: sort by bucket, rank within the bucket's run, scatter ids into
+    # bucket*cap + rank slots (rank >= cap drops into a shared spill slot).
+    hb = _hash(cells)                                          # (N,)
+    order = jnp.argsort(hb).astype(jnp.int32)
+    hs = hb[order]
+    rank = (jnp.arange(n, dtype=jnp.int32)
+            - jnp.searchsorted(hs, hs, side="left").astype(jnp.int32))
+    slot = jnp.where(rank < cap, hs * cap + rank, n_buckets * cap)
+    table = jnp.full((n_buckets * cap + 1,), -1, jnp.int32).at[slot].set(order)
+
+    # Query: 27 neighbor cells -> buckets (deduped: a repeated bucket id in
+    # the stencil reads identical slots, which would duplicate pair rows and
+    # double the friction-cone budget) -> gather cap ids each -> true
+    # distances -> top-k ascending, matching the dense builder's row order.
+    offs = np.stack(np.meshgrid((-1, 0, 1), (-1, 0, 1), (-1, 0, 1),
+                                indexing="ij"), -1).reshape(27, 3)
+    qb = _hash(cells[:, None, :] + jnp.asarray(offs, jnp.int32))   # (N, 27)
+    dup = jnp.any((qb[:, :, None] == qb[:, None, :])
+                  & (np.arange(27)[None, :, None]
+                     > np.arange(27)[None, None, :]), -1)          # (N, 27)
+    slots = qb[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
+    cand = jnp.where(dup[..., None], -1, table[slots]).reshape(n, 27 * cap)
+    d2 = jnp.sum((pos[:, None, :] - pos[jnp.maximum(cand, 0)]) ** 2, -1)
+    bad = (cand < 0) | (cand == jnp.arange(n, dtype=jnp.int32)[:, None])
+    d2 = jnp.where(bad, jnp.asarray(jnp.inf, pos.dtype), d2)
+    neg_d2, sel = lax.top_k(-d2, k)
+    idx = jnp.maximum(jnp.take_along_axis(cand, sel, 1), 0)
+    dist = jnp.sqrt(jnp.maximum(-neg_d2, 0.0))
     return idx, dist < band
 
 

@@ -289,14 +289,19 @@ def step_physics(
             NBR_MAX_N,
             PAIR_GS_MAX_N,
             build_pair_candidates,
+            build_pair_candidates_binned,
         )
 
-        # Bounded by NBR_MAX_N: beyond it the dense N^2 candidate build
-        # itself is off-budget (17 GB at 65k) and solve_contacts falls back
-        # to the Jacobi pass anyway.
-        if PAIR_GS_MAX_N < state.pos.shape[0] <= NBR_MAX_N:
-            pair_candidates = build_pair_candidates(
-                state.pos, params.collision_r)
+        # Dense N^2 top-k up to NBR_MAX_N; beyond it the spatial-hash-grid
+        # builder supplies the same rows in O(N*k) (the dense distance
+        # matrix is 17 GB at 65k), so Bullet-grade neighbor GS runs at any
+        # local fleet size — only cross-shard/env-batched fleets still take
+        # the Jacobi pass inside solve_contacts.
+        if PAIR_GS_MAX_N < state.pos.shape[0]:
+            build = (build_pair_candidates
+                     if state.pos.shape[0] <= NBR_MAX_N
+                     else build_pair_candidates_binned)
+            pair_candidates = build(state.pos, params.collision_r)
     for _ in range(n_substeps):
         state = substep_pyb(
             state, rpm, last_rpm, params, dt,

@@ -28,6 +28,10 @@ from gym_pybullet_drones_tpu.core.params import drone_params
 from gym_pybullet_drones_tpu.envs.spec import DroneModel, Physics
 
 CHUNK = 50
+IMPULSE_CHUNK = 10   # the v5e faults on long outer scans of the deeply
+                     # nested impulse program (CLAUDE.md round-5 class);
+                     # at 32k+ drones the safe length shrinks below 50 —
+                     # 10-step chunks measured identical throughput
 REPEATS = 3
 
 
@@ -46,11 +50,17 @@ def fleet(n, seed=0):
 
 def main():
     sizes = [int(a) for a in sys.argv[1:]] or [1024, 4096, 8192]
+    # LADDER_MODES=impulse skips the clamp arm: its dense per-substep pair
+    # pass is O(N^2) memory and OOMs the chip beyond ~32k drones (the
+    # production large-N clamp path is runtime.make_swarm_physics, measured
+    # in PERF.md's megadrone ladder — this script measures the solver).
+    modes = tuple(os.environ.get("LADDER_MODES", "clamp,impulse").split(","))
     params = drone_params(DroneModel.CF2X)
     for n in sizes:
         kin0 = fleet(n)
         rpm = jnp.full((n, 4), float(params.hover_rpm), jnp.float32)
-        for mode in ("clamp", "impulse"):
+        for mode in modes:
+            chunk = IMPULSE_CHUNK if mode == "impulse" else CHUNK
 
             @jax.jit
             def run_chunk(kin, last):
@@ -61,7 +71,7 @@ def main():
                         collisions=True, contact_mode=mode)
                     return (kin, last), None
                 (kin, last), _ = jax.lax.scan(body, (kin, rpm), None,
-                                              length=CHUNK)
+                                              length=chunk)
                 return kin, last
 
             kin, last = run_chunk(kin0, rpm)
@@ -71,7 +81,7 @@ def main():
                 t0 = time.perf_counter()
                 kin, last = run_chunk(kin, last)
                 jax.block_until_ready(kin)
-                best = max(best, n * CHUNK / (time.perf_counter() - t0))
+                best = max(best, n * chunk / (time.perf_counter() - t0))
             p = np.asarray(kin.pos)
             sane = bool(np.all(np.isfinite(p)) and p[:, 2].max() < 5.0
                         and p[:, 2].min() > -0.1)

@@ -194,15 +194,29 @@ def build_pair_candidates_binned(pos, radius, k=NBR_K, margin=0.05,
     # the stencil reads identical slots, which would duplicate pair rows and
     # double the friction-cone budget) -> gather cap ids each -> true
     # distances -> top-k ascending, matching the dense builder's row order.
-    offs = np.stack(np.meshgrid((-1, 0, 1), (-1, 0, 1), (-1, 0, 1),
-                                indexing="ij"), -1).reshape(27, 3)
-    qb = _hash(cells[:, None, :] + jnp.asarray(offs, jnp.int32))   # (N, 27)
+    # Everything stays 2-D (N, M): a trailing size-3 axis lane-pads 3->128
+    # on TPU and the (N, 27*cap, 3) gathered-position intermediate was a
+    # 29 GB compile-time OOM at 131k drones.
+    hx = cells[:, 0] * np.int32(73856093)
+    hy = cells[:, 1] * np.int32(19349663)
+    hz = cells[:, 2] * np.int32(83492791)
+    qb = jnp.stack(
+        [(hx + np.int32(dx * 73856093))
+         ^ (hy + np.int32(dy * 19349663))
+         ^ (hz + np.int32(dz * 83492791))
+         for dx in (-1, 0, 1) for dy in (-1, 0, 1) for dz in (-1, 0, 1)],
+        axis=1) & np.int32(n_buckets - 1)                          # (N, 27)
     dup = jnp.any((qb[:, :, None] == qb[:, None, :])
                   & (np.arange(27)[None, :, None]
                      > np.arange(27)[None, None, :]), -1)          # (N, 27)
-    slots = qb[..., None] * cap + jnp.arange(cap, dtype=jnp.int32)
-    cand = jnp.where(dup[..., None], -1, table[slots]).reshape(n, 27 * cap)
-    d2 = jnp.sum((pos[:, None, :] - pos[jnp.maximum(cand, 0)]) ** 2, -1)
+    slots = (jnp.repeat(qb, cap, axis=1) * cap
+             + jnp.tile(jnp.arange(cap, dtype=jnp.int32), 27)[None, :])
+    cand = jnp.where(jnp.repeat(dup, cap, axis=1), -1, table[slots])
+    safe = jnp.maximum(cand, 0)                                    # (N, M)
+    d2 = jnp.zeros(cand.shape, pos.dtype)
+    for axis in range(3):
+        comp = pos[:, axis]
+        d2 = d2 + (comp[:, None] - comp[safe]) ** 2
     bad = (cand < 0) | (cand == jnp.arange(n, dtype=jnp.int32)[:, None])
     d2 = jnp.where(bad, jnp.asarray(jnp.inf, pos.dtype), d2)
     neg_d2, sel = lax.top_k(-d2, k)
